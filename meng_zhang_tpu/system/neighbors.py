@@ -1,0 +1,184 @@
+"""Neighbor lists: fixed-capacity padded arrays, built on device.
+
+TPU-native replacement for the LAMMPS neighbor machinery the reference relies
+on (full lists, REQ_FULL, fe/src/pair_annp.cpp:310) plus the GPU package's
+in-kernel short-neighbor repack (k_annp_short_nbor, fe/lib/lal_annp.cu:267-344).
+
+Design (SURVEY.md section 7): every list is a dense [N, K] int32 array padded
+with the sentinel `N`; capacity overflows are reported through an explicit
+`overflow` flag instead of the reference's silently-unchecked register caps
+(fe/lib/lal_annp.cu:288). Lists are *symmetric by construction* (the cutoff
+criterion is symmetric), which the gather-based force formulation requires.
+
+Two builders:
+  * `build_neighbors_n2`   — O(N^2) masked build, for small systems and tests.
+  * `build_neighbors_cell` — cell-list binning, O(N), for production scenes.
+
+Both are jit-compatible with static capacity arguments.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .cell import min_image
+
+
+class NeighborList(NamedTuple):
+    idx: jax.Array        # [N, K] int32, padded with N
+    overflow: jax.Array   # bool: any per-atom neighbor count exceeded K
+    ref_x: jax.Array      # [N, 3] positions at build time (for skin check)
+
+    @property
+    def capacity(self) -> int:
+        return self.idx.shape[1]
+
+    def mask(self) -> jax.Array:
+        return self.idx < self.idx.shape[0]
+
+
+def _compact_rows(within, cand_idx, capacity, n_sentinel):
+    """Pack True entries of `within` [R, C] into [R, capacity] index rows.
+
+    Returns (idx [R, capacity] padded with n_sentinel, per-row counts).
+    """
+    slots = jnp.cumsum(within, axis=1) - 1              # slot of each hit
+    counts = slots[:, -1] + 1
+    dump = jnp.where(within, jnp.minimum(slots, capacity), capacity)
+    out = jnp.full((within.shape[0], capacity + 1), n_sentinel, dtype=jnp.int32)
+    rows = jnp.broadcast_to(jnp.arange(within.shape[0])[:, None], within.shape)
+    out = out.at[rows, dump].set(jnp.where(within, cand_idx, n_sentinel).astype(jnp.int32),
+                                 mode="drop")
+    return out[:, :capacity], counts
+
+
+def build_neighbors_n2(x, box, cutoff, capacity):
+    """All-pairs neighbor build (use for N up to a few thousand)."""
+    n = x.shape[0]
+    dx = min_image(x[:, None, :] - x[None, :, :], box)
+    rsq = jnp.sum(dx * dx, axis=-1)
+    # 1e-12 inner epsilon matches the reference's self/overlap guard
+    # (fe/src/pair_annp.cpp:142)
+    within = (rsq < cutoff * cutoff) & (rsq > 1.0e-12)
+    within &= ~jnp.eye(n, dtype=bool)
+    cand = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (n, n))
+    idx, counts = _compact_rows(within, cand, capacity, n)
+    return NeighborList(idx=idx, overflow=jnp.any(counts > capacity), ref_x=x)
+
+
+def cell_grid_dims(box, cutoff):
+    """Static grid dimensions for a cell list (>=1 cell of edge >= cutoff)."""
+    return tuple(max(int(b // cutoff), 1) for b in box)
+
+
+def build_neighbors_cell(x, box, cutoff, capacity, dims, cell_capacity,
+                         row_chunk=16384):
+    """Cell-list neighbor build.
+
+    Args:
+      x: [N, 3] positions (any image; binning wraps into the box).
+      box: [3] box lengths.
+      cutoff: interaction + skin cutoff.
+      capacity: static max neighbors per atom (K).
+      dims: static (nx, ny, nz) from `cell_grid_dims`; every entry must be
+        >= 3 so the 27-stencil never aliases a cell onto itself — callers
+        should fall back to `build_neighbors_n2` otherwise.
+      cell_capacity: static max atoms per cell.
+      row_chunk: atoms processed per compaction chunk (bounds peak memory).
+    """
+    n = x.shape[0]
+    nx, ny, nz = dims
+    ncell = nx * ny * nz
+    if min(dims) < 3:
+        raise ValueError("cell list needs >= 3 cells per direction; use n2")
+
+    box = jnp.asarray(box, dtype=x.dtype)
+    frac = x / box - jnp.floor(x / box)          # wrapped fractional coords
+    dvec = jnp.asarray([nx, ny, nz])
+    c3 = jnp.clip((frac * dvec).astype(jnp.int32), 0, dvec - 1)   # [N, 3]
+    cid = (c3[:, 0] * ny + c3[:, 1]) * nz + c3[:, 2]              # [N]
+
+    order = jnp.argsort(cid).astype(jnp.int32)
+    sorted_cid = cid[order]
+    start = jnp.searchsorted(sorted_cid, jnp.arange(ncell), side="left")
+    rank = jnp.arange(n, dtype=jnp.int32) - start[sorted_cid].astype(jnp.int32)
+    cell_overflow = jnp.any(rank >= cell_capacity)
+    cell_atoms = jnp.full((ncell, cell_capacity + 1), n, dtype=jnp.int32)
+    cell_atoms = cell_atoms.at[
+        sorted_cid, jnp.minimum(rank, cell_capacity)].set(order, mode="drop")
+    cell_atoms = cell_atoms[:, :cell_capacity]                    # [ncell, C]
+
+    # 27-stencil neighbor cell ids for every cell, with periodic wrap
+    offs = jnp.stack(jnp.meshgrid(*([jnp.arange(-1, 2)] * 3), indexing="ij"),
+                     axis=-1).reshape(27, 3)
+    all3 = jnp.stack(jnp.meshgrid(jnp.arange(nx), jnp.arange(ny), jnp.arange(nz),
+                                  indexing="ij"), axis=-1).reshape(ncell, 3)
+    nb3 = (all3[:, None, :] + offs[None, :, :]) % dvec            # [ncell, 27, 3]
+    nb_cid = (nb3[..., 0] * ny + nb3[..., 1]) * nz + nb3[..., 2]  # [ncell, 27]
+
+    cut2 = cutoff * cutoff
+    x_pad = jnp.concatenate([x, jnp.zeros((1, 3), dtype=x.dtype)], axis=0)
+
+    def chunk_fn(i0):
+        ids = i0 + jnp.arange(row_chunk)
+        ids_c = jnp.minimum(ids, n - 1)
+        cand = cell_atoms[nb_cid[cid[ids_c]]].reshape(row_chunk, 27 * cell_capacity)
+        dx = min_image(x[ids_c][:, None, :] - x_pad[cand], box)
+        rsq = jnp.sum(dx * dx, axis=-1)
+        within = (cand < n) & (cand != ids_c[:, None]) \
+            & (rsq < cut2) & (rsq > 1.0e-12) & (ids < n)[:, None]
+        return _compact_rows(within, cand, capacity, n)
+
+    nchunk = -(-n // row_chunk)
+    idx_chunks, count_chunks = jax.lax.map(
+        chunk_fn, jnp.arange(nchunk) * row_chunk)
+    idx = idx_chunks.reshape(nchunk * row_chunk, capacity)[:n]
+    counts = count_chunks.reshape(-1)[:n]
+    overflow = jnp.any(counts > capacity) | cell_overflow
+    return NeighborList(idx=idx, overflow=overflow, ref_x=x)
+
+
+def needs_rebuild(nbrs: NeighborList, x, box, skin):
+    """True when any atom moved more than skin/2 since the list was built.
+
+    Replaces the reference benchmark's fixed `neigh_modify every 5`
+    (in.st_test:10) with the standard safe-displacement criterion.
+    """
+    dx = min_image(x - nbrs.ref_x, box)
+    return jnp.any(jnp.sum(dx * dx, axis=-1) > (0.5 * skin) ** 2)
+
+
+def estimate_capacity(box, cutoff, n, headroom=1.25, minimum=8):
+    """Padded capacity estimate from mean density (rounded up to 8)."""
+    vol = float(box[0] * box[1] * box[2])
+    mean = n / vol * (4.0 / 3.0) * math.pi * cutoff ** 3
+    k = int(mean * headroom) + 1
+    return max(minimum, -(-k // 8) * 8)
+
+
+def reverse_slots(nbrs: NeighborList, row_chunk=1024):
+    """rev[i, s] = slot s' with idx[idx[i, s], s'] == i (symmetric lists).
+
+    Enables a gather-only force pass: a per-pair contribution computed
+    i-centered for neighbor j sits at a position the *receiving* atom can
+    gather through (j, rev), eliminating the reference's serialized scatter
+    kernel (k_annp_updat, fe/lib/lal_annp.cu:715-846). Entries with no match
+    (padding) return K.
+    """
+    n, k = nbrs.idx.shape
+
+    def chunk_fn(i0):
+        rows = jnp.minimum(i0 + jnp.arange(row_chunk), n - 1)
+        j = nbrs.idx[rows]                                   # [R, K]
+        nbrs_of_j = nbrs.idx[jnp.minimum(j, n - 1)]          # [R, K, K]
+        match = nbrs_of_j == rows[:, None, None]             # i appears where?
+        s_prime = jnp.argmax(match, axis=-1).astype(jnp.int32)
+        ok = jnp.any(match, axis=-1) & (j < n)
+        return jnp.where(ok, s_prime, k)
+
+    nchunk = -(-n // row_chunk)
+    out = jax.lax.map(chunk_fn, jnp.arange(nchunk) * row_chunk)
+    return out.reshape(nchunk * row_chunk, k)[:n]

@@ -1,0 +1,118 @@
+"""Parity + derivative tests for the ANNP JAX models.
+
+Three-way agreement is required (the reference's own validation model,
+SURVEY.md section 4, rebuilt as an automated pyramid):
+  1. JAX model vs the hand-derivative numpy oracle (reference CPU math).
+  2. Forces vs finite differences of the JAX energy.
+  3. Virial vs finite differences w.r.t. a box strain.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import perturbed_bcc, perturbed_fcc
+from meng_zhang_tpu.models.annp import (atom_energies, energy, energy_forces,
+                                        energy_forces_virial, make_annp)
+from meng_zhang_tpu.system.neighbors import build_neighbors_n2
+import oracle_numpy
+
+
+@pytest.fixture(scope="module")
+def fe_setup(fe_pot):
+    cfg, params = make_annp(fe_pot, dtype=jnp.float64)
+    x, box = perturbed_bcc(n_cells=2)
+    nbrs = build_neighbors_n2(jnp.asarray(x), jnp.asarray(box), cfg.cut, 64)
+    assert not bool(nbrs.overflow)
+    return cfg, params, jnp.asarray(x), jnp.asarray(box), nbrs
+
+
+def test_fe_energy_forces_vs_oracle(fe_pot, fe_setup):
+    cfg, params, x, box, nbrs = fe_setup
+    e_ref, f_ref, eat_ref = oracle_numpy.annp_fe_energy_forces(
+        fe_pot, np.asarray(x), np.asarray(box))
+    e, f = energy_forces(cfg, params, x, box, nbrs.idx)
+    eat = atom_energies(cfg, params, x, box, nbrs.idx)
+    np.testing.assert_allclose(float(e), e_ref, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(eat), eat_ref, rtol=1e-10)
+    # the headline parity bar: < 1e-6 eV/A
+    assert np.max(np.abs(np.asarray(f) - f_ref)) < 1e-6
+
+
+def test_fe_forces_vs_finite_difference(fe_setup):
+    cfg, params, x, box, nbrs = fe_setup
+    _, f = energy_forces(cfg, params, x, box, nbrs.idx)
+    # drop the -4479 eV/atom constant shift: same gradient, far less
+    # cancellation noise in the finite difference
+    import dataclasses
+    cfg0 = dataclasses.replace(cfg, e_shift=0.0)
+    e_fn = jax.jit(lambda xx: energy(cfg0, params, xx, box, nbrs.idx))
+    h = 1e-5
+    rng = np.random.default_rng(1)
+    for _ in range(4):
+        i = int(rng.integers(x.shape[0]))
+        d = int(rng.integers(3))
+        f_fd = -(e_fn(x.at[i, d].add(h)) - e_fn(x.at[i, d].add(-h))) / (2 * h)
+        np.testing.assert_allclose(float(f[i, d]), float(f_fd), rtol=5e-5, atol=1e-8)
+
+
+def test_fe_virial_vs_strain_fd(fe_setup):
+    cfg, params, x, box, nbrs = fe_setup
+    e, f, w = energy_forces_virial(cfg, params, x, box, nbrs.idx)
+
+    e_of_scale = jax.jit(lambda s: energy(cfg, params, x * s, box * s, nbrs.idx))
+    h = 1e-6
+    tr_fd = -(e_of_scale(1.0 + h) - e_of_scale(1.0 - h)) / (2 * h)
+    # d E(s)/ds at s=1 equals sum of strain derivative trace
+    np.testing.assert_allclose(float(jnp.trace(w)), float(tr_fd), rtol=1e-5)
+
+
+def test_fe_translation_invariance(fe_setup):
+    cfg, params, x, box, nbrs = fe_setup
+    e0 = energy(cfg, params, x, box, nbrs.idx)
+    e1 = energy(cfg, params, x + jnp.asarray([1.3, -0.7, 2.1]), box, nbrs.idx)
+    np.testing.assert_allclose(float(e0), float(e1), rtol=1e-12)
+    _, f = energy_forces(cfg, params, x, box, nbrs.idx)
+    np.testing.assert_allclose(np.asarray(jnp.sum(f, axis=0)), np.zeros(3),
+                               atol=1e-9)
+
+
+def test_ni_energy_forces_vs_oracle(ni_pot):
+    cfg, params = make_annp(ni_pot, dtype=jnp.float64)
+    x, box = perturbed_fcc(n_cells=2)
+    nbrs = build_neighbors_n2(jnp.asarray(x), jnp.asarray(box), cfg.cut, 96)
+    assert not bool(nbrs.overflow)
+    e_ref_ha, f_ref, eat_ref = oracle_numpy.annp_ni_energy_forces(
+        ni_pot, x, box)
+    e, f = energy_forces(cfg, params, jnp.asarray(x), jnp.asarray(box), nbrs.idx)
+    from meng_zhang_tpu.models.annp import NI_HARTREE_EV
+    np.testing.assert_allclose(float(e), e_ref_ha * NI_HARTREE_EV, rtol=1e-10)
+    assert np.max(np.abs(np.asarray(f) - f_ref)) < 1e-6
+
+
+def test_ni_forces_vs_finite_difference(ni_pot):
+    cfg, params = make_annp(ni_pot, dtype=jnp.float64)
+    x, box = perturbed_fcc(n_cells=2, seed=3)
+    xj, bj = jnp.asarray(x), jnp.asarray(box)
+    nbrs = build_neighbors_n2(xj, bj, cfg.cut, 96)
+    _, f = energy_forces(cfg, params, xj, bj, nbrs.idx)
+    e_fn = jax.jit(lambda xx: energy(cfg, params, xx, bj, nbrs.idx))
+    h = 1e-5
+    for (i, d) in [(0, 0), (5, 2), (17, 1)]:
+        f_fd = -(e_fn(xj.at[i, d].add(h)) - e_fn(xj.at[i, d].add(-h))) / (2 * h)
+        np.testing.assert_allclose(float(f[i, d]), float(f_fd), rtol=5e-5, atol=1e-8)
+
+
+def test_fe_f32_accuracy(fe_pot, fe_setup):
+    """The TPU dtype must stay within ~1e-3 eV/A of the f64 oracle forces."""
+    cfg64, _, x, box, nbrs = fe_setup
+    cfg, params = make_annp(fe_pot, dtype=jnp.float32)
+    e32, f32 = energy_forces(cfg, params, x.astype(jnp.float32),
+                             box.astype(jnp.float32), nbrs.idx)
+    _, f64 = energy_forces(cfg64, _params64(fe_pot), x, box, nbrs.idx)
+    assert np.max(np.abs(np.asarray(f32) - np.asarray(f64))) < 2e-3
+
+
+def _params64(pot):
+    from meng_zhang_tpu.models.annp import make_annp as mk
+    return mk(pot, dtype=jnp.float64)[1]
