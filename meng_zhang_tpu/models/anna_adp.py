@@ -1,0 +1,275 @@
+"""ANNA-ADP: physically-informed NN potential (anna-gpu-lammps/bcc_fe).
+
+The MLP does not output energy. Per atom it maps raw Chebyshev descriptors to
+two local ADP parameters (d2, q2) (pair_anna_adp.cpp:166-167,720-751); energy
+and forces come from an analytic angular-dependent potential:
+
+  step(r)   = x^4/(1+x^4),  x = (r - Rc)/hc                 (:181-182)
+  rho_i     = sum_j step * (A0 (r-r0)^yy e^-gz (1+e^-gz) + C0)   (:193-195)
+  embed_i   = c1F sqrt(rho_i) + c2F rho_i^2                  (:212)
+  repul_i   = sum_j step * (V0/(b2-b1) (b2/z^b1 - b1/z^b2) + delta), z=r/r1
+  u(r)      = step (d1 e^{-d2 r} + d3);   mu_i     = sum_j u * x_ij
+  w(r)      = step (q1 e^{-q2 r} + q3);   lambda_i = sum_j w * x_ij x_ij^T
+  E_i = 0.5 repul_i + embed_i + 0.5|mu_i|^2 + 0.5||lambda_i||_F^2
+        - (1/6) tr(lambda_i)^2 + e_base                      (:211-214)
+
+Forces deliberately treat the NN outputs (d2, q2) as constants -- the PINN
+approximation (:216-272). Here that is `lax.stop_gradient` around the
+network outputs before differentiating the analytic energy; autodiff then
+reproduces the reference's hand-derived pair forces exactly (tested against
+a transcription of its formulas).
+
+The reference's two-phase GPU execution with 12 mid-step MPI ghost-field
+exchanges (pair_anna_adp_gpu.cpp:135-158) collapses on a single chip into
+one differentiable graph; the multi-chip path exchanges halo fields
+in-graph instead (meng_zhang_tpu.parallel).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.potential import AnnaPotential
+from ..system.cell import min_image
+from .descriptors import chebyshev_g
+from .mlp import mlp_apply
+
+
+@dataclasses.dataclass(frozen=True)
+class AnnaConfig:
+    npsf: int
+    ntsf: int
+    cut: float
+    flagact: tuple
+    act_style: str
+    e_base: float
+    e_scale: float
+
+
+def make_anna(pot: AnnaPotential, dtype=jnp.float32):
+    cfg = AnnaConfig(npsf=pot.npsf, ntsf=pot.ntsf, cut=pot.cut,
+                     flagact=pot.networks[0].flagact,
+                     act_style=pot.networks[0].act_style,
+                     e_base=pot.e_base, e_scale=pot.e_scale)
+    ne = len(pot.elements)
+    nl = pot.networks[0].n_layers
+    params = {
+        "w": tuple(jnp.asarray(np.stack([pot.networks[e].weights[l] for e in range(ne)]),
+                               dtype=dtype) for l in range(nl)),
+        "b": tuple(jnp.asarray(np.stack([pot.networks[e].biases[l] for e in range(ne)]),
+                               dtype=dtype) for l in range(nl)),
+        "gp": jnp.asarray(pot.gparams, dtype=dtype),
+    }
+    return cfg, params
+
+
+def _gather_dx(x, box, nbr_idx):
+    n = x.shape[0]
+    x_pad = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)], axis=0)
+    dx = min_image(x[:, None, :] - x_pad[nbr_idx], box)
+    mask = nbr_idx < n
+    return dx, mask
+
+
+def local_params(cfg: AnnaConfig, params, x, box, nbr_idx, elems=None):
+    """Phase 1: per-atom (d2, q2) from raw Chebyshev descriptors, [N, 2]."""
+    dx, mask = _gather_dx(x, box, nbr_idx)
+    if elems is None:
+        elems = jnp.zeros(x.shape[0], dtype=jnp.int32)
+
+    def one(dxi, mi, ei):
+        rsq = jnp.sum(dxi * dxi, axis=-1)
+        m = mi & (rsq < cfg.cut * cfg.cut)
+        g = chebyshev_g(dxi, m, cfg.npsf, cfg.ntsf, cfg.cut)
+        w = tuple(wl[ei] for wl in params["w"])
+        b = tuple(bl[ei] for bl in params["b"])
+        return mlp_apply(w, b, cfg.flagact, cfg.act_style, g)
+
+    return jax.vmap(one)(dx, mask, elems)
+
+
+def atom_energies_fields(cfg: AnnaConfig, params, x, box, nbr_idx, lparams,
+                         eps=None):
+    """Per-atom ADP energy given frozen local parameters.
+
+    Returns (e_at [N], rho [N], mu [N,3], lam [N,3,3]) -- the fields the
+    reference forward-communicates between its two GPU phases.
+    """
+    gp = params["gp"]
+    A0, yy, gamma, C0 = gp[0], gp[1], gp[2], gp[3]
+    c1F, c2F, V0, b1, b2 = gp[4], gp[5], gp[6], gp[7], gp[8]
+    delta, r0, r1, hc = gp[9], gp[10], gp[11], gp[12]
+    d1, q1, d3, q3 = gp[13], gp[14], gp[15], gp[16]
+    rc = cfg.cut
+    dx, mask = _gather_dx(x, box, nbr_idx)
+    if eps is not None:
+        dx = dx @ (jnp.eye(3, dtype=x.dtype) + eps)
+
+    def one(dxi, mi, lp):
+        rsq = jnp.sum(dxi * dxi, axis=-1)
+        m = mi & (rsq < rc * rc)
+        r = jnp.sqrt(jnp.where(m, rsq, 1.0))
+        stx = (r - rc) / hc
+        st4 = stx ** 4
+        step = jnp.where(m, st4 / (1.0 + st4), 0.0)
+
+        d2, q2 = lp[0], lp[1]
+        u = step * (d1 * jnp.exp(-d2 * r) + d3)
+        w = step * (q1 * jnp.exp(-q2 * r) + q3)
+        mu = jnp.sum(u[:, None] * dxi, axis=0)                       # [3]
+        lam = jnp.sum(w[:, None, None] * dxi[:, :, None] * dxi[:, None, :],
+                      axis=0)                                        # [3,3]
+
+        z = r - r0
+        ez = jnp.exp(-gamma * z)
+        rho = jnp.sum(step * (A0 * jnp.where(m, z, 1.0) ** yy * ez * (1.0 + ez) + C0))
+        zr = r / r1
+        repul = jnp.sum(step * (V0 / (b2 - b1)
+                                * (b2 / zr ** b1 - b1 / zr ** b2) + delta))
+
+        rho_safe = jnp.where(rho > 1e-30, rho, 1.0)
+        embed = jnp.where(rho > 1e-30,
+                          c1F * jnp.sqrt(rho_safe) + c2F * rho * rho, 0.0)
+        nu = jnp.trace(lam)
+        angular = (0.5 * jnp.sum(mu * mu) + 0.5 * jnp.sum(lam * lam)
+                   - nu * nu / 6.0)
+        e = 0.5 * repul + embed + angular + cfg.e_base
+        return e, rho, mu, lam
+
+    return jax.vmap(one)(dx, mask, lparams)
+
+
+def energy(cfg: AnnaConfig, params, x, box, nbr_idx, elems=None):
+    lp = jax.lax.stop_gradient(local_params(cfg, params, x, box, nbr_idx, elems))
+    e_at, _, _, _ = atom_energies_fields(cfg, params, x, box, nbr_idx, lp)
+    return jnp.sum(e_at)
+
+
+def atom_energies(cfg: AnnaConfig, params, x, box, nbr_idx, elems=None):
+    lp = local_params(cfg, params, x, box, nbr_idx, elems)
+    e_at, _, _, _ = atom_energies_fields(cfg, params, x, box, nbr_idx, lp)
+    return e_at
+
+
+def energy_forces_autodiff(cfg: AnnaConfig, params, x, box, nbr_idx, elems=None):
+    """Total energy and the true frozen-(d2,q2) gradient forces via autodiff.
+
+    Numerically identical (< 1e-10) to the hand-derived `energy_forces`:
+    the reference's d_rho omits a step-function factor on its gamma terms
+    (pair_anna_adp.cpp force loop == lal_anna_adp.cu:738), but those terms
+    are suppressed by e^{-gamma(r-r0)} ~ 1e-11 for the shipped parameters.
+    Kept as an independent cross-check and for autodiff-through-strain uses.
+    """
+    lp = jax.lax.stop_gradient(local_params(cfg, params, x, box, nbr_idx, elems))
+
+    def etot(xx):
+        e_at, _, _, _ = atom_energies_fields(cfg, params, xx, box, nbr_idx, lp)
+        return jnp.sum(e_at)
+
+    e, g = jax.value_and_grad(etot)(x)
+    return e, -g
+
+
+def _center_pair_force(gp, rho_c, mu_c, lam_c, d2_c, q2_c, dx, r, rc):
+    """Reference pair force g(fields_of_center, x_ct) for displacement
+    x_ct = x_center - x_target (vectorized over trailing pair axes).
+
+    Transcribes the analytic form of pair_anna_adp.cpp:216-272 ==
+    lal_anna_adp.cu:700-784, including its d_rho quirk.
+    """
+    A0, yy, gamma, C0 = gp[0], gp[1], gp[2], gp[3]
+    c1F, c2F, V0, b1, b2 = gp[4], gp[5], gp[6], gp[7], gp[8]
+    delta, r0, r1, hc = gp[9], gp[10], gp[11], gp[12]
+    d1, q1, d3, q3 = gp[13], gp[14], gp[15], gp[16]
+
+    stx = (r - rc) / hc
+    t1 = 1.0 + stx ** 4
+    stpf = stx ** 4 / t1
+    dstpf = 4.0 * stx ** 3 / (t1 * t1) / hc
+
+    z = r - r0
+    ez = jnp.exp(-gamma * z)
+    zyy = A0 * z ** yy
+    gazyy = zyy * gamma
+    drho = (ez * (1.0 + ez) * (zyy * (dstpf + stpf * yy / z) - gazyy)
+            + C0 * dstpf - gazyy * ez * ez)
+    rho_s = jnp.where(rho_c > 1e-30, rho_c, 1.0)
+    dembed = (0.5 * c1F / jnp.sqrt(rho_s) + 2.0 * c2F * rho_c) * drho
+
+    repc = V0 / (b2 - b1)
+    zr = r / r1
+    zb1 = zr ** b1
+    zb2 = zr ** b2
+    rep1 = repc * (b2 / zb1 - b1 / zb2) + delta
+    drep = dstpf * rep1 + stpf * repc * (b2 * b1 / r1 / zr * (-1.0 / zb1 + 1.0 / zb2))
+
+    ut = d1 * jnp.exp(-d2_c * r)
+    wt = q1 * jnp.exp(-q2_c * r)
+    au = stpf * (ut + d3)
+    aw = 2.0 * stpf * (wt + q3)
+    dau = dstpf * (ut + d3) + stpf * (-d2_c * ut)
+    daw = dstpf * (wt + q3) + stpf * (-q2_c * wt)
+
+    # elementwise forms (not einsum/matmul): keeps the arithmetic identical
+    # between the self- and neighbor-centered paths on TPU, where matmuls
+    # default to bfloat16 passes and would break pairwise cancellation
+    lam_x = jnp.sum(lam_c * dx[..., None, :], axis=-1)
+    lamq = jnp.sum(dx * lam_x, axis=-1)
+    mu_x = jnp.sum(mu_c * dx, axis=-1)
+    f_v = -jnp.trace(lam_c, axis1=-2, axis2=-1) / 3.0
+
+    dterm1 = 0.5 * drep + dembed + dau * mu_x + daw * lamq
+    dterm3 = f_v * (daw * r + aw)
+    return (dterm1 / r + dterm3)[..., None] * dx + aw[..., None] * lam_x \
+        + au[..., None] * mu_c
+
+
+def energy_forces(cfg: AnnaConfig, params, x, box, nbr_idx, elems=None):
+    """Total energy and reference-exact forces.
+
+    Newton-off gather formulation (the anna_adp GPU kernel's own shape,
+    lal_anna_adp.cu:642-804): per ordered pair (a, j),
+      F_a += g(fields_j, x_j - x_a) - g(fields_a, x_a - x_j),
+    with every field gathered -- no scatter. Also returns nothing else;
+    see `energy_forces_virial` for the stress tensor.
+    """
+    e, f, _ = _ef_impl(cfg, params, x, box, nbr_idx, elems, want_virial=False)
+    return e, f
+
+
+def energy_forces_virial(cfg: AnnaConfig, params, x, box, nbr_idx, elems=None):
+    return _ef_impl(cfg, params, x, box, nbr_idx, elems, want_virial=True)
+
+
+def _ef_impl(cfg: AnnaConfig, params, x, box, nbr_idx, elems, want_virial):
+    n = x.shape[0]
+    gp = params["gp"]
+    rc = cfg.cut
+    lp = local_params(cfg, params, x, box, nbr_idx, elems)
+    e_at, rho, mu, lam = atom_energies_fields(cfg, params, x, box, nbr_idx, lp)
+
+    dx, mask = _gather_dx(x, box, nbr_idx)                   # [N,K,3], [N,K]
+    rsq = jnp.sum(dx * dx, axis=-1)
+    m = mask & (rsq < rc * rc)
+    r = jnp.sqrt(jnp.where(m, rsq, 1.0))
+
+    idx_c = jnp.minimum(nbr_idx, n - 1)
+    g_self = _center_pair_force(gp, rho[:, None], mu[:, None, :], lam[:, None],
+                                lp[:, 0:1], lp[:, 1:2], dx, r, rc)
+    g_nbr = _center_pair_force(gp, rho[idx_c], mu[idx_c], lam[idx_c],
+                               lp[idx_c, 0], lp[idx_c, 1], -dx, r, rc)
+    f_pair = jnp.where(m[..., None], g_nbr - g_self, 0.0)    # force on a
+    f = jnp.sum(f_pair, axis=1)
+    w = None
+    if want_virial:
+        # per-pair tally +1/2 dx (x) f_pair on each side of the pair
+        w = 0.5 * jnp.einsum("nka,nkb->ab", dx * m[..., None].astype(dx.dtype),
+                             f_pair, precision=jax.lax.Precision.HIGHEST)
+        w = 0.5 * (w + w.T)
+    return jnp.sum(e_at), f, w
+
+

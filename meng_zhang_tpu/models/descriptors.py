@@ -12,9 +12,13 @@ pairs j<k, realized as 0.5 * a symmetric masked j!=k double sum.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..units import CFLENGTH
+
+# TPU matmuls default to bfloat16 passes; descriptor geometry needs full f32
+_HI = jax.lax.Precision.HIGHEST
 
 
 def cutoff_cos(r, rc):
@@ -56,7 +60,7 @@ def chebyshev_g(dx, mask, npsf: int, ntsf: int, rc):
     # zero masked unit vectors: padded slots would otherwise feed |cos| >> 1
     # into the Chebyshev recurrence and overflow f32 (T_19 grows ~(2x)^19)
     u = jnp.where(mask[:, None], dx / r[:, None], 0.0)  # unit vectors
-    cosjk = u @ u.T                                     # [K, K]
+    cosjk = jnp.einsum("jd,kd->jk", u, u, precision=_HI)   # [K, K]
     pair_m = (mask[:, None] & mask[None, :])
     pair_m &= ~jnp.eye(mask.shape[0], dtype=bool)
     ta = chebyshev_t(0.5 * (cosjk + 1.0), ntsf)         # [K, K, ntsf]
@@ -94,7 +98,7 @@ def behler_g(dx, mask, coerad, coeang):
 
     # angular (masked unit vectors zeroed, see chebyshev_g)
     u = jnp.where(mask[:, None], dx / r[:, None], 0.0)
-    cosjk = u @ u.T
+    cosjk = jnp.einsum("jd,kd->jk", u, u, precision=_HI)
     k_sz = mask.shape[0]
     pair_m = (mask[:, None] & mask[None, :]) & ~jnp.eye(k_sz, dtype=bool)
     # r_jk from the displacement difference: x_j - x_k = dx_k - dx_j

@@ -27,6 +27,7 @@ to flags [4, 4, 0].
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..io.potential import ActivationStyle
@@ -68,6 +69,9 @@ def mlp_apply(weights, biases, flagact, style, g):
     """
     h = g
     for w, b, flag in zip(weights, biases, flagact):
-        h = h @ w.T + b
+        # HIGHEST precision: TPU matmuls otherwise run bfloat16 passes,
+        # which breaks <1e-6 force parity through the dE/dG chain
+        h = jnp.matmul(h, jnp.swapaxes(w, -1, -2),
+                       precision=jax.lax.Precision.HIGHEST) + b
         h = activation(h, flag, style)
     return h

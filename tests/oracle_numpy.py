@@ -220,3 +220,102 @@ def annp_ni_energy_forces(pot, x, box):
             fi += fj
         forces[i] -= fi
     return e_at.sum(), forces, e_at
+
+
+def _mlp_forward_only(net, g, style):
+    h = np.asarray(g, dtype=np.float64)
+    for w, b, flag in zip(net.weights, net.biases, net.flagact):
+        z = w @ h + b
+        h = np.array([act(zi, flag, style)[0] for zi in z])
+    return h
+
+
+def anna_adp_energy_forces(pot, x, box):
+    """ANNA-ADP oracle: energy + the reference's exact newton-on pair-force
+    loop using i-centered fields (pair_anna_adp.cpp:74-290), including its
+    hand-derivative d_rho quirk. Returns (E_total, F, per-atom E, lparams)."""
+    n = len(x)
+    gp = pot.gparams
+    (A0, yy, gamma, C0, c1F, c2F, V0, b1, b2, delta,
+     r0, r1, hc, d1, q1, d3, q3) = gp
+    rc = pot.cut
+    net = pot.networks[0]
+    nbrs = _neighbors(x, box, rc)
+    forces = np.zeros((n, 3))
+    e_at = np.zeros(n)
+    lparams = np.zeros((n, 2))
+    for i in range(n):
+        lst = nbrs[i]
+        # phase 1: raw Chebyshev G -> (d2, q2)
+        g = np.zeros(pot.nsf)
+        for a, (j, xij) in enumerate(lst):
+            rij = np.linalg.norm(xij)
+            fcij = 0.5 * (np.cos(np.pi / rc * rij) + 1.0)
+            t, _ = cheb_t_dt(2.0 * rij / rc - 1.0, pot.npsf)
+            g[:pot.npsf] += t * fcij
+            for (k, xik) in lst[a + 1:]:
+                rik = np.linalg.norm(xik)
+                fcik = 0.5 * (np.cos(np.pi / rc * rik) + 1.0)
+                ct = float(xij @ xik / (rij * rik))
+                ta, _ = cheb_t_dt(0.5 * (ct + 1.0), pot.ntsf)
+                g[pot.npsf:] += ta * fcij * fcik
+        d2, q2 = _mlp_forward_only(net, g, "anna")
+        lparams[i] = (d2, q2)
+
+        # fields + energy
+        mu = np.zeros(3)
+        lam = np.zeros((3, 3))
+        rho = 0.0
+        repul = 0.0
+        for (j, xij) in lst:
+            r = np.linalg.norm(xij)
+            stx = (r - rc) / hc
+            stpf = stx ** 4 / (1 + stx ** 4)
+            u = stpf * (d1 * np.exp(-d2 * r) + d3)
+            w = stpf * (q1 * np.exp(-q2 * r) + q3)
+            mu += u * xij
+            lam += w * np.outer(xij, xij)
+            z = r - r0
+            ez = np.exp(-gamma * z)
+            rho += stpf * (A0 * z ** yy * ez * (1 + ez) + C0)
+            zr = r / r1
+            repul += stpf * (V0 / (b2 - b1) * (b2 / zr ** b1 - b1 / zr ** b2) + delta)
+        nu = np.trace(lam)
+        e_at[i] = (0.5 * repul + c1F * np.sqrt(rho) + c2F * rho ** 2
+                   + 0.5 * mu @ mu + 0.5 * np.sum(lam * lam) - nu ** 2 / 6.0
+                   + pot.e_base)
+
+        # force loop (i-centered fields, newton-on +/- scatter)
+        f_v = -nu / 3.0
+        repc = V0 / (b2 - b1)
+        for (j, xij) in lst:
+            r = np.linalg.norm(xij)
+            stx = (r - rc) / hc
+            t1 = 1 + stx ** 4
+            stpf = stx ** 4 / t1
+            dstpf = 4 * stx ** 3 / t1 ** 2 / hc
+            z = r - r0
+            ez = np.exp(-gamma * z)
+            zyy = A0 * z ** yy
+            gazyy = zyy * gamma
+            drho = (ez * (1 + ez) * (zyy * (dstpf + stpf * yy / z) - gazyy)
+                    + C0 * dstpf - gazyy * ez * ez)
+            dembed = (0.5 * c1F * rho ** -0.5 + 2.0 * c2F * rho) * drho
+            zr = r / r1
+            zb1, zb2 = zr ** b1, zr ** b2
+            rep1 = repc * (b2 / zb1 - b1 / zb2) + delta
+            drep = dstpf * rep1 + stpf * repc * (b2 * b1 / r1 / zr * (-1 / zb1 + 1 / zb2))
+            ut = d1 * np.exp(-d2 * r)
+            wt = q1 * np.exp(-q2 * r)
+            au = stpf * (ut + d3)
+            aw = 2.0 * stpf * (wt + q3)
+            dau = dstpf * (ut + d3) + stpf * (-d2 * ut)
+            daw = dstpf * (wt + q3) + stpf * (-q2 * wt)
+            lam_x = lam @ xij
+            lamq = xij @ lam_x
+            dterm1 = 0.5 * drep + dembed + dau * (mu @ xij) + daw * lamq
+            dterm3 = f_v * (daw * r + aw)
+            fp = (dterm1 / r + dterm3) * xij + aw * lam_x + au * mu
+            forces[i] -= fp
+            forces[j] += fp
+    return e_at.sum(), forces, e_at, lparams
