@@ -1,0 +1,249 @@
+"""Device-resident MD driver.
+
+Replaces the reference's LAMMPS driver layer (Verlet run loop, fix nvt/npt,
+thermo output, neighbor rebuild cadence). The entire run -- integration,
+neighbor rebuilds, thermostats, thermo reduction -- is one jitted `lax.scan`:
+positions never leave HBM between thermo blocks (SURVEY.md section 7, "no
+per-step host round trips", in contrast to the reference's per-step
+device<->host sync, fe/lib/lal_annp.cpp:548-553).
+
+Neighbor rebuilds use the safe-displacement criterion (> skin/2 since last
+build) via `lax.cond` inside the step, replacing the benchmark's fixed
+`neigh_modify every 5` (in.st_test:10).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..system.neighbors import (NeighborList, build_neighbors_cell,
+                                build_neighbors_n2, cell_grid_dims,
+                                needs_rebuild)
+from ..units import BOLTZ, MVV2E, NKTV2P
+from . import integrate as I
+
+
+class MDState(NamedTuple):
+    x: jax.Array          # [N,3] positions (A)
+    v: jax.Array          # [N,3] velocities (A/ps)
+    f: jax.Array          # [N,3] forces (eV/A)
+    box: jax.Array        # [3]
+    pe: jax.Array         # potential energy (eV)
+    virial: jax.Array     # [3,3] (eV)
+    nbrs: NeighborList
+    nhc: I.NHCState
+    v_eps: jax.Array      # [3] barostat strain rates
+    baro_nhc: I.NHCState
+    key: jax.Array
+    step: jax.Array
+    overflow: jax.Array   # sticky neighbor-capacity overflow flag
+
+
+class Thermo(NamedTuple):
+    step: jax.Array
+    temp: jax.Array
+    pe: jax.Array
+    ke: jax.Array
+    press: jax.Array
+    vol: jax.Array
+    conserved: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class MDConfig:
+    dt: float                       # ps
+    cutoff: float                   # model cutoff (A)
+    skin: float = 2.0
+    capacity: int = 256
+    nbr_method: str = "cell"        # "cell" | "n2"
+    cell_dims: Optional[tuple] = None
+    cell_capacity: int = 64
+    ensemble: str = "nve"           # "nve" | "nvt" | "npt" | "langevin"
+    t_target: float = 300.0
+    tau_t: float = 0.1              # ps (LAMMPS Tdamp)
+    damp: float = 0.1               # ps (Langevin)
+    p_target: tuple = (0.0, 0.0, 0.0)   # bar, per axis
+    p_couple: tuple = (False, False, False)
+    tau_p: float = 1.0              # ps (LAMMPS Pdamp)
+    nhc_len: int = 3
+    thermo_every: int = 10
+
+
+def create_velocities(key, masses, t_target, dtype=jnp.float32):
+    """Maxwell-Boltzmann draw with drift removal and exact-T rescale
+    (LAMMPS `velocity all create T seed mom yes`)."""
+    n = masses.shape[0]
+    sigma = jnp.sqrt(BOLTZ * t_target / (masses[:, None] * MVV2E))
+    v = sigma * jax.random.normal(key, (n, 3), dtype=dtype)
+    v = I.remove_drift(v, masses)
+    ndof = 3 * n - 3
+    t_now = I.temperature(v, masses, ndof)
+    return v * jnp.sqrt(t_target / t_now)
+
+
+class Simulator:
+    """MD driver bound to a force model.
+
+    force_fn(x, box, nbr_idx) -> (pe, forces, virial[3,3])
+    """
+
+    def __init__(self, force_fn: Callable, masses, cfg: MDConfig):
+        self.force_fn = force_fn
+        self.masses = masses
+        self.cfg = cfg
+        n = masses.shape[0]
+        self.ndof = 3 * n - 3
+        self.n = n
+
+    # ---------- neighbor handling ----------
+    def build_nbrs(self, x, box):
+        c = self.cfg
+        rlist = c.cutoff + c.skin
+        if c.nbr_method == "n2":
+            return build_neighbors_n2(x, box, rlist, c.capacity)
+        dims = c.cell_dims
+        assert dims is not None, "cell_dims required for cell neighbor method"
+        return build_neighbors_cell(x, box, rlist, c.capacity, dims,
+                                    c.cell_capacity)
+
+    # ---------- single step ----------
+    def _eval_force(self, x, box, nbrs):
+        return self.force_fn(x, box, nbrs.idx)
+
+    def _maybe_rebuild(self, x, box, nbrs):
+        return jax.lax.cond(
+            needs_rebuild(nbrs, x, box, self.cfg.skin),
+            lambda: self.build_nbrs(x, box),
+            lambda: nbrs)
+
+    def step(self, s: MDState) -> MDState:
+        c = self.cfg
+        dt = c.dt
+        m = self.masses
+        if c.ensemble == "nvt":
+            q = I.nhc_masses(self.ndof, c.t_target, c.tau_t, c.nhc_len,
+                             s.v.dtype)
+            v, nhc = I.nhc_step(s.v, m, s.nhc, q, c.t_target, self.ndof, dt)
+            s = s._replace(v=v, nhc=nhc)
+        if c.ensemble == "npt":
+            s = self._npt_baro_half(s)
+
+        v = I.vv_kick(s.v, s.f, m, 0.5 * dt)
+        if c.ensemble == "npt":
+            x, box = self._npt_drift(s.x, v, s.box, s.v_eps, dt)
+        else:
+            x, box = I.vv_drift(s.x, v, dt), s.box
+
+        if c.ensemble == "langevin":
+            key, sub = jax.random.split(s.key)
+            v = I.langevin_ou(v, m, sub, c.t_target, c.damp, dt)
+        else:
+            key = s.key
+
+        nbrs = self._maybe_rebuild(x, box, s.nbrs)
+        pe, f, w = self._eval_force(x, box, nbrs)
+        v = I.vv_kick(v, f, m, 0.5 * dt)
+
+        s = MDState(x=x, v=v, f=f, box=box, pe=pe, virial=w, nbrs=nbrs,
+                    nhc=s.nhc, v_eps=s.v_eps, baro_nhc=s.baro_nhc, key=key,
+                    step=s.step + 1, overflow=s.overflow | nbrs.overflow)
+        if c.ensemble == "npt":
+            s = self._npt_baro_half(s)
+        if c.ensemble == "nvt":
+            q = I.nhc_masses(self.ndof, c.t_target, c.tau_t, c.nhc_len,
+                             s.v.dtype)
+            v, nhc = I.nhc_step(s.v, m, s.nhc, q, c.t_target, self.ndof, dt)
+            s = s._replace(v=v, nhc=nhc)
+        return s
+
+    # ---------- NPT pieces (MTK, per-axis couple) ----------
+    def _pressure_diag(self, s: MDState):
+        vol = s.box[0] * s.box[1] * s.box[2]
+        kin = MVV2E * jnp.sum(self.masses[:, None] * s.v * s.v, axis=0)  # [3]
+        return (kin + jnp.diagonal(s.virial)) / vol                      # eV/A^3
+
+    def _npt_baro_half(self, s: MDState) -> MDState:
+        c = self.cfg
+        dt2 = 0.5 * c.dt
+        couple = jnp.asarray(c.p_couple, dtype=s.v.dtype)
+        p_ext = jnp.asarray(c.p_target, dtype=s.v.dtype) / NKTV2P        # bar -> eV/A^3
+        w_mass = I.npt_baro_masses(self.n, c.t_target, c.tau_p, s.v.dtype)
+        vol = s.box[0] * s.box[1] * s.box[2]
+        p_int = self._pressure_diag(s)
+        ke2 = 2.0 * I.kinetic_energy(s.v, self.masses)
+        n_couple = jnp.maximum(jnp.sum(couple), 1.0)
+        g_eps = (vol * (p_int - p_ext) + (ke2 / self.ndof) * couple / n_couple) \
+            / w_mass
+        v_eps = s.v_eps + dt2 * g_eps * couple
+        # MTK velocity correction
+        tr = jnp.sum(v_eps * couple)
+        scale = jnp.exp(-dt2 * (v_eps + tr / self.ndof))
+        v = s.v * jnp.where(couple > 0, scale, 1.0)[None, :]
+        return s._replace(v=v, v_eps=v_eps)
+
+    def _npt_drift(self, x, v, box, v_eps, dt):
+        c = self.cfg
+        couple = jnp.asarray(c.p_couple, dtype=x.dtype)
+        ex = jnp.where(couple > 0, jnp.exp(dt * v_eps), 1.0)
+        # x' = x*e^{dt*veps} + dt*v*sinh-like polynomial; first order in veps
+        box_new = box * ex
+        x_new = x * ex[None, :] + dt * v
+        return x_new, box_new
+
+    # ---------- state init ----------
+    def init_state(self, x, box, v=None, seed=0, t_init=None):
+        rlist = self.cfg.cutoff + self.cfg.skin
+        small = [float(b) for b in np.asarray(box) if float(b) < 2.0 * rlist]
+        if small:
+            raise ValueError(
+                f"box edges {small} are below 2*(cutoff+skin)={2 * rlist:.2f} A: "
+                "the single-image minimum-image convention would miss periodic "
+                "images. Replicate the scene first "
+                "(meng_zhang_tpu.geometry.lattice.replicate_data / min_replicas).")
+        dtype = x.dtype
+        key = jax.random.PRNGKey(seed)
+        if v is None:
+            key, sub = jax.random.split(key)
+            t0 = self.cfg.t_target if t_init is None else t_init
+            v = create_velocities(sub, self.masses.astype(dtype), t0, dtype)
+        nbrs = self.build_nbrs(x, box)
+        pe, f, w = self._eval_force(x, box, nbrs)
+        return MDState(
+            x=x, v=v, f=f, box=box, pe=pe, virial=w, nbrs=nbrs,
+            nhc=I.NHCState.zeros(self.cfg.nhc_len, dtype),
+            v_eps=jnp.zeros(3, dtype), baro_nhc=I.NHCState.zeros(2, dtype),
+            key=key, step=jnp.asarray(0, jnp.int32),
+            overflow=nbrs.overflow)
+
+    # ---------- thermo ----------
+    def thermo(self, s: MDState) -> Thermo:
+        ke = I.kinetic_energy(s.v, self.masses)
+        temp = 2.0 * ke / (self.ndof * BOLTZ)
+        vol = s.box[0] * s.box[1] * s.box[2]
+        press = (jnp.sum(self._pressure_diag(s)) / 3.0) * NKTV2P
+        conserved = s.pe + ke
+        if self.cfg.ensemble == "nvt":
+            q = I.nhc_masses(self.ndof, self.cfg.t_target, self.cfg.tau_t,
+                             self.cfg.nhc_len, s.v.dtype)
+            conserved = conserved + I.nhc_conserved(s.nhc, q, self.cfg.t_target,
+                                                    self.ndof)
+        return Thermo(step=s.step, temp=temp, pe=s.pe, ke=ke, press=press,
+                      vol=vol, conserved=conserved)
+
+    # ---------- run loop ----------
+    @partial(jax.jit, static_argnums=(0, 2))
+    def run(self, state: MDState, n_blocks: int):
+        """Advance n_blocks x thermo_every steps; returns (state, Thermo
+        stacked [n_blocks]). Fully device-resident."""
+        every = self.cfg.thermo_every
+
+        def block(s, _):
+            s = jax.lax.fori_loop(0, every, lambda i, ss: self.step(ss), s)
+            return s, self.thermo(s)
+
+        return jax.lax.scan(block, state, None, length=n_blocks)

@@ -137,6 +137,114 @@ def energy_forces(cfg: AnnpConfig, params, x, box, nbr_idx, elems=None):
     return e, -grads
 
 
+def _pad_rows(a, rows, fill):
+    return jnp.concatenate([a, jnp.full((rows,) + a.shape[1:], fill, a.dtype)])
+
+
+def _chunk_energy_cheb(cfg: AnnpConfig, params, xc, xpad, idx, box):
+    """Chebyshev chunk energy in TPU-friendly [C, K] component layout.
+
+    xc: 3 x [C] chunk coordinates; xpad: 3 x [N+1] padded coordinates;
+    idx: [C, K]. All per-pair math runs on [C, K] / [C, K, K] arrays --
+    never a trailing-3 axis, which TPU tiling would pad to 128.
+    Returns summed chunk energy.
+    """
+    n = xpad[0].shape[0] - 1
+    rc = cfg.cut
+    mask = idx < n
+    dx = []
+    rsq = jnp.zeros(idx.shape, xc[0].dtype)
+    for d in range(3):
+        dd = xc[d][:, None] - xpad[d][idx]
+        dd = dd - box[d] * jnp.round(dd / box[d])
+        dx.append(dd)
+        rsq = rsq + dd * dd
+    mask = mask & (rsq < rc * rc) & (rsq > 1.0e-12)
+    r = jnp.sqrt(jnp.where(mask, rsq, 1.0))
+    fc = jnp.where(mask, 0.5 * (jnp.cos(jnp.pi / rc * r) + 1.0), 0.0)
+
+    # radial: G[m] = sum_j T_m(2r/rc - 1) * fc     [C, npsf]
+    xch = 2.0 * r / rc - 1.0
+    t_prev = jnp.ones_like(xch)
+    t_cur = xch
+    g_rad = [jnp.sum(fc, axis=1)]
+    if cfg.npsf > 1:
+        g_rad.append(jnp.sum(t_cur * fc, axis=1))
+    for _ in range(2, cfg.npsf):
+        t_prev, t_cur = t_cur, 2.0 * xch * t_cur - t_prev
+        g_rad.append(jnp.sum(t_cur * fc, axis=1))
+    g_rad = jnp.stack(g_rad, axis=1)
+
+    # angular: cos matrix from 3 outer products of unit components
+    inv_r = 1.0 / r
+    cosjk = jnp.zeros(idx.shape + (idx.shape[1],), xch.dtype)
+    for d in range(3):
+        ud = jnp.where(mask, dx[d] * inv_r, 0.0)
+        cosjk = cosjk + ud[:, :, None] * ud[:, None, :]
+    wjk = fc[:, :, None] * fc[:, None, :]
+    wjk = wjk * (1.0 - jnp.eye(idx.shape[1], dtype=xch.dtype))
+    xa = 0.5 * (cosjk + 1.0)
+    t_prev = jnp.ones_like(xa)
+    t_cur = xa
+    g_ang = [jnp.sum(wjk, axis=(1, 2))]
+    if cfg.ntsf > 1:
+        g_ang.append(jnp.sum(wjk * t_cur, axis=(1, 2)))
+    for _ in range(2, cfg.ntsf):
+        t_prev, t_cur = t_cur, 2.0 * xa * t_cur - t_prev
+        g_ang.append(jnp.sum(wjk * t_cur, axis=(1, 2)))
+    g_ang = 0.5 * jnp.stack(g_ang, axis=1)
+
+    g = jnp.concatenate([g_rad, g_ang], axis=1)
+    g = (g - params["sf_shift"]) * params["sf_scale"]
+    w = tuple(wl[0] for wl in params["w"])      # single-element fast path
+    b = tuple(bl[0] for bl in params["b"])
+    out = mlp_apply(w, b, cfg.flagact, cfg.act_style, g)
+    return jnp.sum(cfg.e_scale * out[:, 0] + cfg.e_shift)
+
+
+def energy_chunked(cfg: AnnpConfig, params, x, box, nbr_idx, elems=None,
+                   chunk=256):
+    """Total energy with atoms processed in rematerialized chunks.
+
+    The TPU analogue of the reference's FCA chunked launch loop
+    (loop_annp, fe/lib/lal_annp.cpp:517-607): the O(chunk * K^2) angular
+    intermediates never exceed one chunk's footprint; `jax.checkpoint`
+    recomputes them in the backward pass instead of storing all chunks.
+    Currently specialized to single-element Chebyshev potentials (the
+    fe/fe_v2 flagship); falls back to the vmap path otherwise.
+    """
+    n = x.shape[0]
+    if cfg.descriptor != SYM_CHEBYSHEV or (elems is not None
+                                           and bool(params["w"][0].shape[0] > 1)):
+        return energy(cfg, params, x, box, nbr_idx, elems)
+    n_pad = -(-n // chunk) * chunk
+    idx_p = _pad_rows(nbr_idx, n_pad - n, n)           # padded rows: all-sentinel
+    xpad = tuple(jnp.concatenate([x[:, d], jnp.zeros((1,), x.dtype)])
+                 for d in range(3))
+    xc = tuple(_pad_rows(x[:, d], n_pad - n, 0.0).reshape(-1, chunk)
+               for d in range(3))
+    idx_c = idx_p.reshape(-1, chunk, nbr_idx.shape[1])
+
+    @jax.checkpoint
+    def chunk_e(carry, args):
+        xc0, xc1, xc2, idx = args
+        e = _chunk_energy_cheb(cfg, params, (xc0, xc1, xc2), xpad, idx, box)
+        return carry + e, None
+
+    total, _ = jax.lax.scan(chunk_e, jnp.zeros((), x.dtype),
+                            (xc[0], xc[1], xc[2], idx_c))
+    # padded rows have empty neighborhoods but still contribute e_shift
+    return total - (n_pad - n) * cfg.e_shift
+
+
+def energy_forces_chunked(cfg: AnnpConfig, params, x, box, nbr_idx,
+                          elems=None, chunk=256):
+    """Memory-bounded energy+forces for production-size scenes."""
+    e, g = jax.value_and_grad(energy_chunked, argnums=2)(
+        cfg, params, x, box, nbr_idx, elems, chunk)
+    return e, -g
+
+
 def energy_forces_virial(cfg: AnnpConfig, params, x, box, nbr_idx, elems=None):
     """Total energy, forces, and the virial tensor W = -dE/d(strain).
 

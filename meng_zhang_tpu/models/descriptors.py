@@ -63,9 +63,19 @@ def chebyshev_g(dx, mask, npsf: int, ntsf: int, rc):
     cosjk = jnp.einsum("jd,kd->jk", u, u, precision=_HI)   # [K, K]
     pair_m = (mask[:, None] & mask[None, :])
     pair_m &= ~jnp.eye(mask.shape[0], dtype=bool)
-    ta = chebyshev_t(0.5 * (cosjk + 1.0), ntsf)         # [K, K, ntsf]
     wjk = jnp.where(pair_m, fc[:, None] * fc[None, :], 0.0)
-    g_ang = 0.5 * jnp.sum(ta * wjk[:, :, None], axis=(0, 1))
+    # running Chebyshev recurrence: accumulate each weighted T_n reduction
+    # without materializing the [K, K, ntsf] stack
+    xa = 0.5 * (cosjk + 1.0)
+    t_prev = jnp.ones_like(xa)
+    t_cur = xa
+    sums = [jnp.sum(wjk * t_prev)]
+    if ntsf > 1:
+        sums.append(jnp.sum(wjk * t_cur))
+    for _ in range(2, ntsf):
+        t_prev, t_cur = t_cur, 2.0 * xa * t_cur - t_prev
+        sums.append(jnp.sum(wjk * t_cur))
+    g_ang = 0.5 * jnp.stack(sums)
     return jnp.concatenate([g_rad, g_ang])
 
 

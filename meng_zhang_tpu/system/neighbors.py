@@ -43,16 +43,21 @@ class NeighborList(NamedTuple):
 def _compact_rows(within, cand_idx, capacity, n_sentinel):
     """Pack True entries of `within` [R, C] into [R, capacity] index rows.
 
-    Returns (idx [R, capacity] padded with n_sentinel, per-row counts).
+    Sort-based: valid candidate indices sort ahead of the sentinel, so a
+    row sort + slice packs without any scatter (TPU scatters serialize;
+    a bitonic row sort is orders of magnitude faster here). Returns
+    (idx [R, capacity] padded with n_sentinel and ascending per row,
+    per-row true counts).
     """
-    slots = jnp.cumsum(within, axis=1) - 1              # slot of each hit
-    counts = slots[:, -1] + 1
-    dump = jnp.where(within, jnp.minimum(slots, capacity), capacity)
-    out = jnp.full((within.shape[0], capacity + 1), n_sentinel, dtype=jnp.int32)
-    rows = jnp.broadcast_to(jnp.arange(within.shape[0])[:, None], within.shape)
-    out = out.at[rows, dump].set(jnp.where(within, cand_idx, n_sentinel).astype(jnp.int32),
-                                 mode="drop")
-    return out[:, :capacity], counts
+    keys = jnp.where(within, cand_idx.astype(jnp.int32),
+                     jnp.int32(n_sentinel))
+    keys = jnp.sort(keys, axis=1)
+    counts = jnp.sum(within, axis=1)
+    if keys.shape[1] < capacity:
+        keys = jnp.concatenate(
+            [keys, jnp.full((keys.shape[0], capacity - keys.shape[1]),
+                            n_sentinel, jnp.int32)], axis=1)
+    return keys[:, :capacity], counts
 
 
 def build_neighbors_n2(x, box, cutoff, capacity):
@@ -120,14 +125,19 @@ def build_neighbors_cell(x, box, cutoff, capacity, dims, cell_capacity,
     nb_cid = (nb3[..., 0] * ny + nb3[..., 1]) * nz + nb3[..., 2]  # [ncell, 27]
 
     cut2 = cutoff * cutoff
-    x_pad = jnp.concatenate([x, jnp.zeros((1, 3), dtype=x.dtype)], axis=0)
+    # per-component padded coordinates: a [M, 3] candidate-displacement array
+    # would be tiled to [M, 128] on TPU (trailing-dim padding) -- 42x memory
+    xp = [jnp.concatenate([x[:, d], jnp.zeros((1,), x.dtype)]) for d in range(3)]
 
     def chunk_fn(i0):
         ids = i0 + jnp.arange(row_chunk)
         ids_c = jnp.minimum(ids, n - 1)
         cand = cell_atoms[nb_cid[cid[ids_c]]].reshape(row_chunk, 27 * cell_capacity)
-        dx = min_image(x[ids_c][:, None, :] - x_pad[cand], box)
-        rsq = jnp.sum(dx * dx, axis=-1)
+        rsq = jnp.zeros(cand.shape, x.dtype)
+        for d in range(3):
+            dxd = xp[d][ids_c][:, None] - xp[d][cand]
+            dxd = dxd - box[d] * jnp.round(dxd / box[d])
+            rsq = rsq + dxd * dxd
         within = (cand < n) & (cand != ids_c[:, None]) \
             & (rsq < cut2) & (rsq > 1.0e-12) & (ids < n)[:, None]
         return _compact_rows(within, cand, capacity, n)
@@ -137,7 +147,11 @@ def build_neighbors_cell(x, box, cutoff, capacity, dims, cell_capacity,
         chunk_fn, jnp.arange(nchunk) * row_chunk)
     idx = idx_chunks.reshape(nchunk * row_chunk, capacity)[:n]
     counts = count_chunks.reshape(-1)[:n]
-    overflow = jnp.any(counts > capacity) | cell_overflow
+    # NPT guard: if the box shrank so a cell edge dropped below the cutoff,
+    # the 27-stencil can miss neighbors -- flag it instead of silently
+    # losing pairs
+    dims_stale = jnp.any(box / jnp.asarray(dims, box.dtype) < cutoff)
+    overflow = jnp.any(counts > capacity) | cell_overflow | dims_stale
     return NeighborList(idx=idx, overflow=overflow, ref_x=x)
 
 

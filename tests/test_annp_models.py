@@ -116,3 +116,15 @@ def test_fe_f32_accuracy(fe_pot, fe_setup):
 def _params64(pot):
     from meng_zhang_tpu.models.annp import make_annp as mk
     return mk(pot, dtype=jnp.float64)[1]
+
+
+def test_energy_chunked_matches_vmap(fe_pot, fe_setup):
+    from meng_zhang_tpu.models.annp import energy_chunked, energy_forces_chunked
+    cfg, params, x, box, nbrs = fe_setup
+    e_ref = energy(cfg, params, x, box, nbrs.idx)
+    for chunk in (4, 16):
+        e_c = energy_chunked(cfg, params, x, box, nbrs.idx, chunk=chunk)
+        np.testing.assert_allclose(float(e_c), float(e_ref), rtol=1e-12)
+    _, f_ref = energy_forces(cfg, params, x, box, nbrs.idx)
+    _, f_c = energy_forces_chunked(cfg, params, x, box, nbrs.idx, chunk=16)
+    np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_ref), atol=1e-10)

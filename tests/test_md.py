@@ -1,0 +1,138 @@
+"""MD driver tests: NVE conservation, NVT/Langevin thermostats, NPT, FIRE.
+
+Energy conservation is the integration-level analogue of the reference's
+golden-log validation (SURVEY.md section 4.2). The tight NVE check runs the
+fe ANNP model in f64; the ensemble checks use ANNA-ADP (cheaper: pairwise
+forces, 5.055 A cutoff) -- note ANNA's frozen-(d2,q2) force definition is
+deliberately not exactly conservative, so its tests assert thermostat
+behavior, not drift.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from meng_zhang_tpu.md.minimize import fire_minimize
+from meng_zhang_tpu.md.simulation import MDConfig, Simulator
+from meng_zhang_tpu.models import anna_adp
+from meng_zhang_tpu.models.annp import make_annp, energy_forces
+from meng_zhang_tpu.units import MASS_FE
+
+
+def bcc(n, a=2.8553, dtype=jnp.float64):
+    basis = np.array([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]])
+    cells = np.array([[i, j, k] for i in range(n)
+                      for j in range(n) for k in range(n)])
+    x = (cells[:, None, :] + basis[None, :, :]).reshape(-1, 3) * a
+    return jnp.asarray(x, dtype), jnp.asarray([n * a] * 3, dtype)
+
+
+@pytest.fixture(scope="module")
+def anna_system(anna_pot):
+    cfg, params = anna_adp.make_anna(anna_pot, dtype=jnp.float32)
+    x, box = bcc(4, dtype=jnp.float32)            # box 11.42 > 2*(5.055+0.5)
+
+    def force_fn(xx, bb, idx):
+        return anna_adp.energy_forces_virial(cfg, params, xx, bb, idx)
+
+    masses = jnp.full(x.shape[0], MASS_FE, jnp.float32)
+    return force_fn, x, box, masses
+
+
+def _sim(force_fn, masses, ensemble, cutoff, skin=0.5, capacity=96,
+         thermo_every=10, **kw):
+    cfg = MDConfig(dt=0.001, cutoff=cutoff, skin=skin, capacity=capacity,
+                   nbr_method="n2", ensemble=ensemble,
+                   thermo_every=thermo_every, **kw)
+    return Simulator(force_fn, masses, cfg)
+
+
+def test_nve_energy_conservation_fe(fe_pot):
+    mcfg, params = make_annp(fe_pot, dtype=jnp.float64)
+    # drop the constant -4479 eV/atom shift: same dynamics, conservation
+    # check not drowned by f.p. cancellation in the total
+    mcfg = dataclasses.replace(mcfg, e_shift=0.0)
+    x, box = bcc(5)
+
+    def force_fn(xx, bb, idx):
+        e, f = energy_forces(mcfg, params, xx, bb, idx)
+        return e, f, jnp.zeros((3, 3), xx.dtype)
+
+    masses = jnp.full(x.shape[0], MASS_FE, jnp.float64)
+    sim = _sim(force_fn, masses, "nve", cutoff=6.5, skin=0.6, capacity=160)
+    st = sim.init_state(x, box, seed=1, t_init=300.0)
+    st, th = sim.run(st, 5)                     # 50 steps, 1 fs
+    assert not bool(st.overflow)
+    e = np.asarray(th.conserved)
+    assert np.max(np.abs(e - e[0])) < 5e-3      # eV total over 250 atoms
+    assert 100 < float(th.temp[-1]) < 400
+
+
+def test_nvt_thermostat(anna_system):
+    force_fn, x, box, masses = anna_system
+    sim = _sim(force_fn, masses, "nvt", cutoff=5.055,
+               t_target=300.0, tau_t=0.02)
+    st = sim.init_state(x, box, seed=2, t_init=120.0)
+    # equipartition halves the initial 120 K into PE within ~100 fs; the
+    # thermostat must pull the system back up toward 300 K from there
+    st, th = sim.run(st, 25)                    # 250 steps
+    assert not bool(st.overflow)
+    t = np.asarray(th.temp)
+    assert np.all(np.isfinite(t))
+    assert t[-1] > 140.0 and t[-1] > t[5]       # heating past the dip
+
+
+def test_langevin_thermalizes(anna_system):
+    force_fn, x, box, masses = anna_system
+    sim = _sim(force_fn, masses, "langevin", cutoff=5.055,
+               t_target=300.0, damp=0.02)
+    st = sim.init_state(x, box, seed=3, t_init=10.0)
+    st, th = sim.run(st, 15)
+    t = np.asarray(th.temp)
+    assert abs(np.mean(t[-5:]) - 300.0) < 120.0
+
+
+def test_npt_stable(anna_system):
+    force_fn, x, box, masses = anna_system
+    sim = _sim(force_fn, masses, "npt", cutoff=5.055,
+               t_target=300.0, p_target=(0.0, 0.0, 0.0),
+               p_couple=(True, True, True), tau_p=0.5)
+    st = sim.init_state(x, box, seed=4, t_init=300.0)
+    st, th = sim.run(st, 12)
+    assert not bool(st.overflow)
+    assert np.all(np.isfinite(np.asarray(th.press)))
+    v = np.asarray(th.vol)
+    assert 0.85 < v[-1] / v[0] < 1.15           # bounded box response
+
+
+def test_npt_axis_couple_only_y(anna_system):
+    """Benchmark-style selective coupling (`fix npt ... y 0 0 1`)."""
+    force_fn, x, box, masses = anna_system
+    sim = _sim(force_fn, masses, "npt", cutoff=5.055,
+               t_target=300.0, p_target=(0.0, 0.0, 0.0),
+               p_couple=(False, True, False), tau_p=0.5)
+    st = sim.init_state(x, box, seed=5, t_init=300.0)
+    st, th = sim.run(st, 6)
+    assert float(st.box[0]) == float(box[0])    # uncoupled axes frozen
+    assert float(st.box[2]) == float(box[2])
+    assert np.all(np.isfinite(np.asarray(th.press)))
+
+
+def test_fire_minimizer(anna_pot):
+    cfg, params = anna_adp.make_anna(anna_pot, dtype=jnp.float32)
+    x, box = bcc(4, dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    x = x + jnp.asarray(rng.normal(scale=0.08, size=x.shape), jnp.float32)
+    from meng_zhang_tpu.system.neighbors import build_neighbors_n2
+    nbrs = build_neighbors_n2(x, box, cfg.cut + 0.5, 96)
+
+    def force_fn(xx, bb, idx):
+        return anna_adp.energy_forces(cfg, params, xx, bb, idx)
+
+    e0, _ = force_fn(x, box, nbrs.idx)
+    st = jax.jit(lambda xx: fire_minimize(force_fn, xx, box, nbrs.idx,
+                                          f_tol=5e-3, max_iter=800))(x)
+    assert float(st.fmax) < 5e-3
+    assert float(st.pe) < float(e0)
