@@ -24,8 +24,9 @@ def main():
     ap.add_argument("--n-cells", type=int, default=24)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--chunk", type=int, default=512)
-    ap.add_argument("--capacity", type=int, default=160)
-    ap.add_argument("--skin", type=float, default=0.6)
+    ap.add_argument("--capacity", type=int, default=256)
+    ap.add_argument("--skin", type=float, default=2.0)
+    ap.add_argument("--engine", choices=("pallas", "xla"), default="pallas")
     args = ap.parse_args()
 
     import jax
@@ -34,6 +35,7 @@ def main():
     from meng_zhang_tpu.io.potential import read_ann
     from meng_zhang_tpu.md.simulation import MDConfig, Simulator
     from meng_zhang_tpu.models.annp import energy_forces_chunked, make_annp
+    from meng_zhang_tpu.ops.pallas_annp import PallasAnnp
     from meng_zhang_tpu.system.neighbors import cell_grid_dims
     from meng_zhang_tpu.units import MASS_FE
 
@@ -49,17 +51,25 @@ def main():
     box = jnp.asarray(box_np, jnp.float32)
     log(f"scene: {n} atoms, box {box_np}")
 
-    def force_fn(xx, bb, idx):
-        e, f = energy_forces_chunked(mcfg, params, xx, bb, idx,
-                                     chunk=args.chunk)
-        return e, f, jnp.zeros((3, 3), xx.dtype)
+    if args.engine == "pallas":
+        pk = PallasAnnp(mcfg, params)
+
+        def force_fn(xx, bb, nbrs):
+            e, f = pk.energy_forces(xx, bb, nbrs.idx, nbrs.rev)
+            return e, f, jnp.zeros((3, 3), xx.dtype)
+    else:
+        def force_fn(xx, bb, nbrs):
+            e, f = energy_forces_chunked(mcfg, params, xx, bb, nbrs.idx,
+                                         chunk=args.chunk)
+            return e, f, jnp.zeros((3, 3), xx.dtype)
 
     rlist = mcfg.cut + args.skin
     dims = cell_grid_dims(box_np, rlist)
     cfg = MDConfig(dt=0.001, cutoff=mcfg.cut, skin=args.skin,
                    capacity=args.capacity, nbr_method="cell",
                    cell_dims=dims, cell_capacity=96,
-                   ensemble="nve", thermo_every=5)
+                   ensemble="nve", thermo_every=5,
+                   with_rev=(args.engine == "pallas"))
     masses = jnp.full(n, MASS_FE, jnp.float32)
     sim = Simulator(force_fn, masses, cfg)
 

@@ -42,6 +42,7 @@ class MDState(NamedTuple):
     key: jax.Array
     step: jax.Array
     overflow: jax.Array   # sticky neighbor-capacity overflow flag
+    stale: jax.Array      # neighbor list needs a rebuild (host acts on it)
 
 
 class Thermo(NamedTuple):
@@ -72,6 +73,7 @@ class MDConfig:
     tau_p: float = 1.0              # ps (LAMMPS Pdamp)
     nhc_len: int = 3
     thermo_every: int = 10
+    with_rev: bool = False          # build reverse-slot maps (Pallas force path)
 
 
 def create_velocities(key, masses, t_target, dtype=jnp.float32):
@@ -89,7 +91,7 @@ def create_velocities(key, masses, t_target, dtype=jnp.float32):
 class Simulator:
     """MD driver bound to a force model.
 
-    force_fn(x, box, nbr_idx) -> (pe, forces, virial[3,3])
+    force_fn(x, box, nbrs: NeighborList) -> (pe, forces, virial[3,3])
     """
 
     def __init__(self, force_fn: Callable, masses, cfg: MDConfig):
@@ -105,21 +107,16 @@ class Simulator:
         c = self.cfg
         rlist = c.cutoff + c.skin
         if c.nbr_method == "n2":
-            return build_neighbors_n2(x, box, rlist, c.capacity)
+            return build_neighbors_n2(x, box, rlist, c.capacity,
+                                      with_rev=c.with_rev)
         dims = c.cell_dims
         assert dims is not None, "cell_dims required for cell neighbor method"
         return build_neighbors_cell(x, box, rlist, c.capacity, dims,
-                                    c.cell_capacity)
+                                    c.cell_capacity, with_rev=c.with_rev)
 
     # ---------- single step ----------
     def _eval_force(self, x, box, nbrs):
-        return self.force_fn(x, box, nbrs.idx)
-
-    def _maybe_rebuild(self, x, box, nbrs):
-        return jax.lax.cond(
-            needs_rebuild(nbrs, x, box, self.cfg.skin),
-            lambda: self.build_nbrs(x, box),
-            lambda: nbrs)
+        return self.force_fn(x, box, nbrs)
 
     def step(self, s: MDState) -> MDState:
         c = self.cfg
@@ -145,13 +142,20 @@ class Simulator:
         else:
             key = s.key
 
-        nbrs = self._maybe_rebuild(x, box, s.nbrs)
+        # No in-loop rebuild: a lax.cond around the (expensive) build gets
+        # flattened inside while-loops by XLA and would run every step.
+        # Instead flag staleness conservatively (0.4*skin instead of the
+        # exact 0.5*skin bound, leaving drift margin for the steps until the
+        # host rebuilds at the next block boundary, see run()).
+        nbrs = s.nbrs
+        stale = s.stale | needs_rebuild(nbrs, x, box, 0.8 * self.cfg.skin)
         pe, f, w = self._eval_force(x, box, nbrs)
         v = I.vv_kick(v, f, m, 0.5 * dt)
 
         s = MDState(x=x, v=v, f=f, box=box, pe=pe, virial=w, nbrs=nbrs,
                     nhc=s.nhc, v_eps=s.v_eps, baro_nhc=s.baro_nhc, key=key,
-                    step=s.step + 1, overflow=s.overflow | nbrs.overflow)
+                    step=s.step + 1, overflow=s.overflow | nbrs.overflow,
+                    stale=stale)
         if c.ensemble == "npt":
             s = self._npt_baro_half(s)
         if c.ensemble == "nvt":
@@ -218,7 +222,7 @@ class Simulator:
             nhc=I.NHCState.zeros(self.cfg.nhc_len, dtype),
             v_eps=jnp.zeros(3, dtype), baro_nhc=I.NHCState.zeros(2, dtype),
             key=key, step=jnp.asarray(0, jnp.int32),
-            overflow=nbrs.overflow)
+            overflow=nbrs.overflow, stale=jnp.asarray(False))
 
     # ---------- thermo ----------
     def thermo(self, s: MDState) -> Thermo:
@@ -237,9 +241,10 @@ class Simulator:
 
     # ---------- run loop ----------
     @partial(jax.jit, static_argnums=(0, 2))
-    def run(self, state: MDState, n_blocks: int):
-        """Advance n_blocks x thermo_every steps; returns (state, Thermo
-        stacked [n_blocks]). Fully device-resident."""
+    def run_device(self, state: MDState, n_blocks: int):
+        """Advance n_blocks x thermo_every steps with a FIXED neighbor list;
+        returns (state, Thermo stacked [n_blocks]). Fully device-resident --
+        `state.stale` reports whether a rebuild became necessary."""
         every = self.cfg.thermo_every
 
         def block(s, _):
@@ -247,3 +252,22 @@ class Simulator:
             return s, self.thermo(s)
 
         return jax.lax.scan(block, state, None, length=n_blocks)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _rebuild(self, state: MDState) -> MDState:
+        nbrs = self.build_nbrs(state.x, state.box)
+        return state._replace(nbrs=nbrs, stale=jnp.asarray(False),
+                              overflow=state.overflow | nbrs.overflow)
+
+    def run(self, state: MDState, n_blocks: int):
+        """Advance n_blocks x thermo_every steps, rebuilding the neighbor
+        list at block boundaries whenever a step flagged staleness. One
+        device->host bool sync per block; everything else stays on device."""
+        thermos = []
+        for _ in range(n_blocks):
+            state, th = self.run_device(state, 1)
+            thermos.append(th)
+            if bool(state.stale):
+                state = self._rebuild(state)
+        return state, jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs), *thermos)

@@ -141,7 +141,8 @@ def _pad_rows(a, rows, fill):
     return jnp.concatenate([a, jnp.full((rows,) + a.shape[1:], fill, a.dtype)])
 
 
-def _chunk_energy_cheb(cfg: AnnpConfig, params, xc, xpad, idx, box):
+def _chunk_energy_cheb(cfg: AnnpConfig, params, xc, xpad, idx, box,
+                       valid=None):
     """Chebyshev chunk energy in TPU-friendly [C, K] component layout.
 
     xc: 3 x [C] chunk coordinates; xpad: 3 x [N+1] padded coordinates;
@@ -199,7 +200,10 @@ def _chunk_energy_cheb(cfg: AnnpConfig, params, xc, xpad, idx, box):
     w = tuple(wl[0] for wl in params["w"])      # single-element fast path
     b = tuple(bl[0] for bl in params["b"])
     out = mlp_apply(w, b, cfg.flagact, cfg.act_style, g)
-    return jnp.sum(cfg.e_scale * out[:, 0] + cfg.e_shift)
+    e_at = cfg.e_scale * out[:, 0] + cfg.e_shift
+    if valid is not None:
+        e_at = jnp.where(valid, e_at, 0.0)
+    return jnp.sum(e_at)
 
 
 def energy_chunked(cfg: AnnpConfig, params, x, box, nbr_idx, elems=None,
@@ -224,17 +228,18 @@ def energy_chunked(cfg: AnnpConfig, params, x, box, nbr_idx, elems=None,
     xc = tuple(_pad_rows(x[:, d], n_pad - n, 0.0).reshape(-1, chunk)
                for d in range(3))
     idx_c = idx_p.reshape(-1, chunk, nbr_idx.shape[1])
+    valid_c = (jnp.arange(n_pad) < n).reshape(-1, chunk)
 
     @jax.checkpoint
     def chunk_e(carry, args):
-        xc0, xc1, xc2, idx = args
-        e = _chunk_energy_cheb(cfg, params, (xc0, xc1, xc2), xpad, idx, box)
+        xc0, xc1, xc2, idx, valid = args
+        e = _chunk_energy_cheb(cfg, params, (xc0, xc1, xc2), xpad, idx, box,
+                               valid)
         return carry + e, None
 
     total, _ = jax.lax.scan(chunk_e, jnp.zeros((), x.dtype),
-                            (xc[0], xc[1], xc[2], idx_c))
-    # padded rows have empty neighborhoods but still contribute e_shift
-    return total - (n_pad - n) * cfg.e_shift
+                            (xc[0], xc[1], xc[2], idx_c, valid_c))
+    return total
 
 
 def energy_forces_chunked(cfg: AnnpConfig, params, x, box, nbr_idx,

@@ -31,6 +31,7 @@ class NeighborList(NamedTuple):
     idx: jax.Array        # [N, K] int32, padded with N
     overflow: jax.Array   # bool: any per-atom neighbor count exceeded K
     ref_x: jax.Array      # [N, 3] positions at build time (for skin check)
+    rev: jax.Array        # [N, K] reverse-slot map (or [0, 0] placeholder)
 
     @property
     def capacity(self) -> int:
@@ -38,6 +39,13 @@ class NeighborList(NamedTuple):
 
     def mask(self) -> jax.Array:
         return self.idx < self.idx.shape[0]
+
+
+_NO_REV = None
+
+
+def _rev_placeholder():
+    return jnp.zeros((0, 0), dtype=jnp.int32)
 
 
 def _compact_rows(within, cand_idx, capacity, n_sentinel):
@@ -60,7 +68,7 @@ def _compact_rows(within, cand_idx, capacity, n_sentinel):
     return keys[:, :capacity], counts
 
 
-def build_neighbors_n2(x, box, cutoff, capacity):
+def build_neighbors_n2(x, box, cutoff, capacity, with_rev=False):
     """All-pairs neighbor build (use for N up to a few thousand)."""
     n = x.shape[0]
     dx = min_image(x[:, None, :] - x[None, :, :], box)
@@ -71,7 +79,11 @@ def build_neighbors_n2(x, box, cutoff, capacity):
     within &= ~jnp.eye(n, dtype=bool)
     cand = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (n, n))
     idx, counts = _compact_rows(within, cand, capacity, n)
-    return NeighborList(idx=idx, overflow=jnp.any(counts > capacity), ref_x=x)
+    nl = NeighborList(idx=idx, overflow=jnp.any(counts > capacity), ref_x=x,
+                      rev=_rev_placeholder())
+    if with_rev:
+        nl = nl._replace(rev=reverse_slots(nl))
+    return nl
 
 
 def cell_grid_dims(box, cutoff):
@@ -80,7 +92,7 @@ def cell_grid_dims(box, cutoff):
 
 
 def build_neighbors_cell(x, box, cutoff, capacity, dims, cell_capacity,
-                         row_chunk=16384):
+                         row_chunk=16384, with_rev=False):
     """Cell-list neighbor build.
 
     Args:
@@ -152,7 +164,11 @@ def build_neighbors_cell(x, box, cutoff, capacity, dims, cell_capacity,
     # losing pairs
     dims_stale = jnp.any(box / jnp.asarray(dims, box.dtype) < cutoff)
     overflow = jnp.any(counts > capacity) | cell_overflow | dims_stale
-    return NeighborList(idx=idx, overflow=overflow, ref_x=x)
+    nl = NeighborList(idx=idx, overflow=overflow, ref_x=x,
+                      rev=_rev_placeholder())
+    if with_rev:
+        nl = nl._replace(rev=reverse_slots(nl))
+    return nl
 
 
 def needs_rebuild(nbrs: NeighborList, x, box, skin):
@@ -160,9 +176,14 @@ def needs_rebuild(nbrs: NeighborList, x, box, skin):
 
     Replaces the reference benchmark's fixed `neigh_modify every 5`
     (in.st_test:10) with the standard safe-displacement criterion.
+    Componentwise to avoid trailing-dim-3 tiling on TPU.
     """
-    dx = min_image(x - nbrs.ref_x, box)
-    return jnp.any(jnp.sum(dx * dx, axis=-1) > (0.5 * skin) ** 2)
+    rsq = jnp.zeros(x.shape[0], x.dtype)
+    for d in range(3):
+        dd = x[:, d] - nbrs.ref_x[:, d]
+        dd = dd - box[d] * jnp.round(dd / box[d])
+        rsq = rsq + dd * dd
+    return jnp.any(rsq > (0.5 * skin) ** 2)
 
 
 def estimate_capacity(box, cutoff, n, headroom=1.25, minimum=8):

@@ -34,8 +34,8 @@ def anna_system(anna_pot):
     cfg, params = anna_adp.make_anna(anna_pot, dtype=jnp.float32)
     x, box = bcc(4, dtype=jnp.float32)            # box 11.42 > 2*(5.055+0.5)
 
-    def force_fn(xx, bb, idx):
-        return anna_adp.energy_forces_virial(cfg, params, xx, bb, idx)
+    def force_fn(xx, bb, nbrs):
+        return anna_adp.energy_forces_virial(cfg, params, xx, bb, nbrs.idx)
 
     masses = jnp.full(x.shape[0], MASS_FE, jnp.float32)
     return force_fn, x, box, masses
@@ -56,8 +56,8 @@ def test_nve_energy_conservation_fe(fe_pot):
     mcfg = dataclasses.replace(mcfg, e_shift=0.0)
     x, box = bcc(5)
 
-    def force_fn(xx, bb, idx):
-        e, f = energy_forces(mcfg, params, xx, bb, idx)
+    def force_fn(xx, bb, nbrs):
+        e, f = energy_forces(mcfg, params, xx, bb, nbrs.idx)
         return e, f, jnp.zeros((3, 3), xx.dtype)
 
     masses = jnp.full(x.shape[0], MASS_FE, jnp.float64)
@@ -128,7 +128,7 @@ def test_fire_minimizer(anna_pot):
     from meng_zhang_tpu.system.neighbors import build_neighbors_n2
     nbrs = build_neighbors_n2(x, box, cfg.cut + 0.5, 96)
 
-    def force_fn(xx, bb, idx):
+    def force_fn(xx, bb, idx):      # fire_minimize passes the raw idx table
         return anna_adp.energy_forces(cfg, params, xx, bb, idx)
 
     e0, _ = force_fn(x, box, nbrs.idx)
