@@ -328,6 +328,59 @@ class PallasAnnp:
         dedg = jnp.pad(dedg, ((0, 0), (0, NSF_PAD - nsf)))
         return eat, dedg
 
+    def _pair_dx_frame(self, xc, x_src, box, idx):
+        """Displacements for center rows xc [Cc,3] whose neighbors index into
+        x_src [C_ext,3] (the multi-chip halo frame). Rows padded to TILE."""
+        cc = xc.shape[0]
+        n_src = x_src.shape[0]
+        n_pad = -(-cc // TILE) * TILE
+        if n_pad != cc:
+            idx = jnp.concatenate(
+                [idx, jnp.full((n_pad - cc, idx.shape[1]), n_src, jnp.int32)])
+        x8 = jnp.pad(x_src, ((0, 1), (0, 5)))
+        xj = x8[jnp.minimum(idx, n_src)]
+        valid = idx < n_src
+        out = []
+        for d in range(3):
+            xi = xc[:, d] if n_pad == cc else jnp.concatenate(
+                [xc[:, d], jnp.zeros((n_pad - cc,), xc.dtype)])
+            dd = xi[:, None] - xj[:, :, d]
+            dd = dd - box[d] * jnp.round(dd / box[d])
+            dd = jnp.where(valid, dd, 2.0 * box[d] + 10.0)
+            out.append(dd)
+        return out
+
+    def energy_forces_frame(self, xc, x_src, box, idx, rev, bc):
+        """Sharded-frame evaluation: per-center-row energies and forces.
+
+        xc [Cc, 3]: center-row positions; x_src [C_ext, 3]: position frame
+        (Cc = C_ext - 2*bc, centers offset by bc); idx [Cc, K] indexes the
+        position frame; rev [Cc, K] holds partner slots. Returns
+        (eat [Cc], forces [Cc, 3]); only rows whose full neighbor-center
+        context lies in the frame (the local slice) are physical.
+        """
+        cc, k = idx.shape
+        dxx, dxy, dxz = self._pair_dx_frame(xc, x_src, box, idx)
+        g_pad = _run_g(dxx, dxy, dxz, self.cfg_key)
+        eat, dedg = self._mlp_eat_dedg(g_pad)
+        fjx, fjy, fjz = _run_force(dxx, dxy, dxz, dedg, self.cfg_key)
+        # partner row in the center frame = position-frame index - bc
+        n_src = x_src.shape[0]
+        t_center = idx - bc
+        ok = (idx < n_src) & (t_center >= 0) & (t_center < cc) & (rev < k)
+        own_flat = jnp.arange(cc * k, dtype=jnp.int32).reshape(cc, k)
+        dest = jnp.where(ok, jnp.clip(t_center, 0, cc - 1) * k + rev,
+                         own_flat).reshape(-1)
+        okf = ok.reshape(-1)
+        pay = [jnp.where(okf, fj[:cc].reshape(-1), 0.0)
+               for fj in (fjx, fjy, fjz)]
+        _, px, py, pz = jax.lax.sort((dest, *pay), num_keys=1)
+        f = []
+        for fj, part in zip((fjx, fjy, fjz), (px, py, pz)):
+            own = -jnp.sum(fj[:cc], axis=1)
+            f.append(own + jnp.sum(part.reshape(cc, k), axis=1))
+        return eat[:cc], jnp.stack(f, axis=1)
+
     def energy_dedg(self, x, box, nbr_idx):
         n = x.shape[0]
         dxx, dxy, dxz = self._pair_dx(x, box, nbr_idx)
