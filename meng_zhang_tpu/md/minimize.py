@@ -27,23 +27,23 @@ class FireState(NamedTuple):
 
 def fire_minimize(force_fn: Callable, x0, box, nbr_idx,
                   dt0=1e-3, dt_max=1e-2, f_tol=1e-6, max_iter=2000,
-                  alpha0=0.1, f_inc=1.1, f_dec=0.5, f_alpha=0.99, n_min=5):
+                  alpha0=0.1, f_inc=1.1, f_dec=0.5, f_alpha=0.99, n_min=5,
+                  block=50):
     """Minimize with FIRE on a fixed neighbor list.
 
     force_fn(x, box, nbr_idx) -> (pe, forces). Returns final FireState.
-    Callers should rebuild the neighbor list and re-run until displacement
-    converges (see `fire_relax`).
+    Iterations run in jitted blocks of `block` with a host convergence check
+    between blocks (an unbounded while_loop around chunked force kernels
+    fault on TPU). Callers should rebuild the neighbor list and re-run until
+    displacement converges (see `fire_relax`).
     """
     pe, f = force_fn(x0, box, nbr_idx)
-    s0 = FireState(x=x0, v=jnp.zeros_like(x0), f=f, pe=pe,
-                   dt=jnp.asarray(dt0, x0.dtype),
-                   alpha=jnp.asarray(alpha0, x0.dtype),
-                   n_pos=jnp.asarray(0, jnp.int32),
-                   n_iter=jnp.asarray(0, jnp.int32),
-                   fmax=jnp.max(jnp.abs(f)))
-
-    def cond(s):
-        return (s.fmax > f_tol) & (s.n_iter < max_iter)
+    s = FireState(x=x0, v=jnp.zeros_like(x0), f=f, pe=pe,
+                  dt=jnp.asarray(dt0, x0.dtype),
+                  alpha=jnp.asarray(alpha0, x0.dtype),
+                  n_pos=jnp.asarray(0, jnp.int32),
+                  n_iter=jnp.asarray(0, jnp.int32),
+                  fmax=jnp.max(jnp.abs(f)))
 
     def body(s):
         v = s.v + s.dt * s.f
@@ -67,7 +67,11 @@ def fire_minimize(force_fn: Callable, x0, box, nbr_idx,
                          n_pos=n_pos, n_iter=s.n_iter + 1,
                          fmax=jnp.max(jnp.abs(f)))
 
-    return jax.lax.while_loop(cond, body, s0)
+    run_block = jax.jit(
+        lambda st: jax.lax.fori_loop(0, block, lambda i, ss: body(ss), st))
+    while float(s.fmax) > f_tol and int(s.n_iter) < max_iter:
+        s = run_block(s)
+    return s
 
 
 def fire_relax(force_fn, build_nbrs, x0, box, f_tol=1e-6, max_outer=20,

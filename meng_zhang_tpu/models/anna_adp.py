@@ -75,11 +75,16 @@ def _gather_dx(x, box, nbr_idx):
     return dx, mask
 
 
-def local_params(cfg: AnnaConfig, params, x, box, nbr_idx, elems=None):
-    """Phase 1: per-atom (d2, q2) from raw Chebyshev descriptors, [N, 2]."""
-    dx, mask = _gather_dx(x, box, nbr_idx)
+def local_params(cfg: AnnaConfig, params, x, box, nbr_idx, elems=None,
+                 chunk=512):
+    """Phase 1: per-atom (d2, q2) from raw Chebyshev descriptors, [N, 2].
+
+    Atoms are processed in lax.map chunks so the O(chunk*K^2) angular
+    intermediates stay bounded (the FCA-chunking analogue,
+    SURVEY.md section 7)."""
+    n = x.shape[0]
     if elems is None:
-        elems = jnp.zeros(x.shape[0], dtype=jnp.int32)
+        elems = jnp.zeros(n, dtype=jnp.int32)
 
     def one(dxi, mi, ei):
         rsq = jnp.sum(dxi * dxi, axis=-1)
@@ -89,11 +94,63 @@ def local_params(cfg: AnnaConfig, params, x, box, nbr_idx, elems=None):
         b = tuple(bl[ei] for bl in params["b"])
         return mlp_apply(w, b, cfg.flagact, cfg.act_style, g)
 
-    return jax.vmap(one)(dx, mask, elems)
+    if n <= chunk:
+        dx, mask = _gather_dx(x, box, nbr_idx)
+        return jax.vmap(one)(dx, mask, elems)
+
+    n_pad = -(-n // chunk) * chunk
+    x_pad = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)], axis=0)
+    idx_p = jnp.concatenate(
+        [nbr_idx, jnp.full((n_pad - n, nbr_idx.shape[1]), n, jnp.int32)]) \
+        if n_pad != n else nbr_idx
+    xi_p = jnp.concatenate([x, jnp.zeros((n_pad - n, 3), x.dtype)]) \
+        if n_pad != n else x
+    el_p = jnp.concatenate([elems, jnp.zeros(n_pad - n, jnp.int32)]) \
+        if n_pad != n else elems
+
+    def chunk_fn(args):
+        xi, idx, el = args
+        dx = min_image(xi[:, None, :] - x_pad[idx], box)
+        mask = idx < n
+        return jax.vmap(one)(dx, mask, el)
+
+    out = jax.lax.map(chunk_fn,
+                      (xi_p.reshape(-1, chunk, 3),
+                       idx_p.reshape(-1, chunk, nbr_idx.shape[1]),
+                       el_p.reshape(-1, chunk)))
+    return out.reshape(n_pad, -1)[:n]
 
 
 def atom_energies_fields(cfg: AnnaConfig, params, x, box, nbr_idx, lparams,
-                         eps=None):
+                         eps=None, chunk=512):
+    """Chunked wrapper around `_atom_energies_fields_block`."""
+    n = x.shape[0]
+    if n <= chunk:
+        return _atom_energies_fields_block(cfg, params, x, x, box, nbr_idx,
+                                           lparams, eps)
+    n_pad = -(-n // chunk) * chunk
+
+    def pad(a, fill=0):
+        return jnp.concatenate(
+            [a, jnp.full((n_pad - n,) + a.shape[1:], fill, a.dtype)]) \
+            if n_pad != n else a
+
+    xi = pad(x).reshape(-1, chunk, 3)
+    idx = pad(nbr_idx, n).reshape(-1, chunk, nbr_idx.shape[1])
+    lp = pad(lparams).reshape(-1, chunk, lparams.shape[1])
+
+    def chunk_fn(args):
+        xc, ic, lc = args
+        return _atom_energies_fields_block(cfg, params, xc, x, box, ic, lc,
+                                           eps)
+
+    e, rho, mu, lam = jax.lax.map(chunk_fn, (xi, idx, lp))
+    return (e.reshape(n_pad)[:n], rho.reshape(n_pad)[:n],
+            mu.reshape(n_pad, 3)[:n], lam.reshape(n_pad, 3, 3)[:n])
+
+
+def _atom_energies_fields_block(cfg: AnnaConfig, params, xc, x_all, box,
+                                nbr_idx, lparams, eps=None):
     """Per-atom ADP energy given frozen local parameters.
 
     Returns (e_at [N], rho [N], mu [N,3], lam [N,3,3]) -- the fields the
@@ -105,9 +162,12 @@ def atom_energies_fields(cfg: AnnaConfig, params, x, box, nbr_idx, lparams,
     delta, r0, r1, hc = gp[9], gp[10], gp[11], gp[12]
     d1, q1, d3, q3 = gp[13], gp[14], gp[15], gp[16]
     rc = cfg.cut
-    dx, mask = _gather_dx(x, box, nbr_idx)
+    n_all = x_all.shape[0]
+    x_pad = jnp.concatenate([x_all, jnp.zeros((1, 3), x_all.dtype)], axis=0)
+    dx = min_image(xc[:, None, :] - x_pad[nbr_idx], box)
+    mask = nbr_idx < n_all
     if eps is not None:
-        dx = dx @ (jnp.eye(3, dtype=x.dtype) + eps)
+        dx = dx @ (jnp.eye(3, dtype=xc.dtype) + eps)
 
     def one(dxi, mi, lp):
         rsq = jnp.sum(dxi * dxi, axis=-1)
@@ -245,31 +305,57 @@ def energy_forces_virial(cfg: AnnaConfig, params, x, box, nbr_idx, elems=None):
     return _ef_impl(cfg, params, x, box, nbr_idx, elems, want_virial=True)
 
 
-def _ef_impl(cfg: AnnaConfig, params, x, box, nbr_idx, elems, want_virial):
+def _ef_impl(cfg: AnnaConfig, params, x, box, nbr_idx, elems, want_virial,
+             chunk=512):
     n = x.shape[0]
     gp = params["gp"]
     rc = cfg.cut
     lp = local_params(cfg, params, x, box, nbr_idx, elems)
     e_at, rho, mu, lam = atom_energies_fields(cfg, params, x, box, nbr_idx, lp)
+    x_pad = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)], axis=0)
 
-    dx, mask = _gather_dx(x, box, nbr_idx)                   # [N,K,3], [N,K]
-    rsq = jnp.sum(dx * dx, axis=-1)
-    m = mask & (rsq < rc * rc)
-    r = jnp.sqrt(jnp.where(m, rsq, 1.0))
+    def force_block(xc, idx, lpc, rhoc, muc, lamc):
+        dx = min_image(xc[:, None, :] - x_pad[idx], box)     # [C,K,3]
+        mask = idx < n
+        rsq = jnp.sum(dx * dx, axis=-1)
+        m = mask & (rsq < rc * rc)
+        r = jnp.sqrt(jnp.where(m, rsq, 1.0))
+        idx_c = jnp.minimum(idx, n - 1)
+        g_self = _center_pair_force(gp, rhoc[:, None], muc[:, None, :],
+                                    lamc[:, None], lpc[:, 0:1], lpc[:, 1:2],
+                                    dx, r, rc)
+        g_nbr = _center_pair_force(gp, rho[idx_c], mu[idx_c], lam[idx_c],
+                                   lp[idx_c, 0], lp[idx_c, 1], -dx, r, rc)
+        f_pair = jnp.where(m[..., None], g_nbr - g_self, 0.0)
+        f = jnp.sum(f_pair, axis=1)
+        wv = 0.5 * jnp.einsum("nka,nkb->ab",
+                              dx * m[..., None].astype(dx.dtype), f_pair,
+                              precision=jax.lax.Precision.HIGHEST)
+        return f, wv
 
-    idx_c = jnp.minimum(nbr_idx, n - 1)
-    g_self = _center_pair_force(gp, rho[:, None], mu[:, None, :], lam[:, None],
-                                lp[:, 0:1], lp[:, 1:2], dx, r, rc)
-    g_nbr = _center_pair_force(gp, rho[idx_c], mu[idx_c], lam[idx_c],
-                               lp[idx_c, 0], lp[idx_c, 1], -dx, r, rc)
-    f_pair = jnp.where(m[..., None], g_nbr - g_self, 0.0)    # force on a
-    f = jnp.sum(f_pair, axis=1)
-    w = None
+    if n <= chunk:
+        f, w = force_block(x, nbr_idx, lp, rho, mu, lam)
+    else:
+        n_pad = -(-n // chunk) * chunk
+
+        def pad(a, fill=0):
+            return jnp.concatenate(
+                [a, jnp.full((n_pad - n,) + a.shape[1:], fill, a.dtype)]) \
+                if n_pad != n else a
+
+        args = (pad(x).reshape(-1, chunk, 3),
+                pad(nbr_idx, n).reshape(-1, chunk, nbr_idx.shape[1]),
+                pad(lp).reshape(-1, chunk, lp.shape[1]),
+                pad(rho).reshape(-1, chunk),
+                pad(mu).reshape(-1, chunk, 3),
+                pad(lam).reshape(-1, chunk, 3, 3))
+        f_c, w_c = jax.lax.map(lambda a: force_block(*a), args)
+        f = f_c.reshape(n_pad, 3)[:n]
+        w = jnp.sum(w_c, axis=0)
     if want_virial:
-        # per-pair tally +1/2 dx (x) f_pair on each side of the pair
-        w = 0.5 * jnp.einsum("nka,nkb->ab", dx * m[..., None].astype(dx.dtype),
-                             f_pair, precision=jax.lax.Precision.HIGHEST)
         w = 0.5 * (w + w.T)
+    else:
+        w = None
     return jnp.sum(e_at), f, w
 
 

@@ -132,7 +132,6 @@ def test_fire_minimizer(anna_pot):
         return anna_adp.energy_forces(cfg, params, xx, bb, idx)
 
     e0, _ = force_fn(x, box, nbrs.idx)
-    st = jax.jit(lambda xx: fire_minimize(force_fn, xx, box, nbrs.idx,
-                                          f_tol=5e-3, max_iter=800))(x)
+    st = fire_minimize(force_fn, x, box, nbrs.idx, f_tol=5e-3, max_iter=800)
     assert float(st.fmax) < 5e-3
     assert float(st.pe) < float(e0)
