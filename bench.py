@@ -1,107 +1,133 @@
 #!/usr/bin/env python3
-"""Headline benchmark: bcc-Fe ANNP (Chebyshev) NVE throughput on TPU.
+"""Headline benchmark. Prints ONE JSON line {"metric","value","unit","vs_baseline"}.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Default: THE reference benchmark itself -- the 152,880-atom bcc-Fe slab from
+annp-gpu-lammps/fe_v2/"performance test.zip" (in.st_test: NPT 300 K,
+`boundary m p m`, y-coupled barostat, skin 2.0), the exact scene behind
+BASELINE.md's numbers. vs_baseline divides by the reference's aggregate
+0.559 steps/s x 152,880 atoms = 85,460 atom-steps/s on 2x RTX A5000.
 
-Baseline (BASELINE.md): the reference's fe_v2 benchmark sustains
-0.559 timesteps/s at 152,880 atoms on 2x RTX A5000-class GPUs
-== 85,460 atom-steps/s aggregate. vs_baseline = our atom-steps/s / 85460.
+Falls back to a synthetic bcc-Fe NVE scene if the fixture is unavailable.
 """
 import argparse
 import json
+import os
 import sys
 import time
+import zipfile
 
-import numpy as np
+BASELINE_APS = 0.559 * 152880
+ZIP = "/root/reference/annp-gpu-lammps/fe_v2/performance test.zip"
+FE_ANN = "/root/reference/annp-gpu-lammps/fe/fe_annp_potential_2.ann"
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--n-cells", type=int, default=24)
-    ap.add_argument("--steps", type=int, default=20)
-    ap.add_argument("--chunk", type=int, default=512)
-    ap.add_argument("--capacity", type=int, default=256)
-    ap.add_argument("--skin", type=float, default=2.0)
-    ap.add_argument("--engine", choices=("pallas", "xla"), default="pallas")
-    args = ap.parse_args()
-
+def run_md(x_np, box_np, pbc, ensemble, couple, steps, thermo, mcfg, params,
+           capacity, skin):
     import jax
     import jax.numpy as jnp
-    from meng_zhang_tpu.geometry.lattice import bcc
-    from meng_zhang_tpu.io.potential import read_ann
     from meng_zhang_tpu.md.simulation import MDConfig, Simulator
-    from meng_zhang_tpu.models.annp import energy_forces_chunked, make_annp
     from meng_zhang_tpu.ops.pallas_annp import PallasAnnp
     from meng_zhang_tpu.system.neighbors import cell_grid_dims
     from meng_zhang_tpu.units import MASS_FE
+    import numpy as np
 
-    log("devices:", jax.devices())
-    pot = read_ann("/root/reference/annp-gpu-lammps/fe/fe_annp_potential_2.ann")
-    mcfg, params = make_annp(pot, dtype=jnp.float32)
+    pk = PallasAnnp(mcfg, params)
 
-    x_np, box_np = bcc(args.n_cells)
+    def force_fn(xx, bb, nbrs):
+        return pk.energy_forces(xx, bb, nbrs.idx, nbrs.rev, want_virial=True)
+
+    rlist = mcfg.cut + skin
+    dims = cell_grid_dims(box_np, rlist)
+    cfg = MDConfig(dt=0.001, cutoff=mcfg.cut, skin=skin, capacity=capacity,
+                   nbr_method="cell", cell_dims=dims, cell_capacity=96,
+                   ensemble=ensemble, t_target=300.0, tau_t=0.1,
+                   p_target=(0.0,) * 3, p_couple=couple, tau_p=1.0,
+                   thermo_every=thermo, with_rev=True, pbc=pbc)
     n = len(x_np)
-    rng = np.random.default_rng(0)
-    x_np = x_np + rng.normal(scale=0.03, size=x_np.shape)
+    sim = Simulator(force_fn, jnp.full(n, MASS_FE, jnp.float32), cfg)
     x = jnp.asarray(x_np, jnp.float32)
     box = jnp.asarray(box_np, jnp.float32)
-    log(f"scene: {n} atoms, box {box_np}")
-
-    if args.engine == "pallas":
-        pk = PallasAnnp(mcfg, params)
-
-        def force_fn(xx, bb, nbrs):
-            e, f = pk.energy_forces(xx, bb, nbrs.idx, nbrs.rev)
-            return e, f, jnp.zeros((3, 3), xx.dtype)
-    else:
-        def force_fn(xx, bb, nbrs):
-            e, f = energy_forces_chunked(mcfg, params, xx, bb, nbrs.idx,
-                                         chunk=args.chunk)
-            return e, f, jnp.zeros((3, 3), xx.dtype)
-
-    rlist = mcfg.cut + args.skin
-    dims = cell_grid_dims(box_np, rlist)
-    cfg = MDConfig(dt=0.001, cutoff=mcfg.cut, skin=args.skin,
-                   capacity=args.capacity, nbr_method="cell",
-                   cell_dims=dims, cell_capacity=96,
-                   ensemble="nve", thermo_every=5,
-                   with_rev=(args.engine == "pallas"))
-    masses = jnp.full(n, MASS_FE, jnp.float32)
-    sim = Simulator(force_fn, masses, cfg)
 
     t0 = time.time()
-    st = sim.init_state(x, box, seed=1, t_init=300.0)
+    st = sim.init_state(x, box, seed=4928459, t_init=300.0)
     jax.block_until_ready(st.f)
-    log(f"init (incl. nbr-build compile): {time.time() - t0:.1f}s; "
-        f"overflow={bool(st.overflow)}")
-    assert not bool(st.overflow), "neighbor capacity overflow"
-
+    log(f"init: {time.time() - t0:.1f}s overflow={bool(st.overflow)}")
+    assert not bool(st.overflow)
     t0 = time.time()
-    st, th = sim.run(st, 1)
+    st, th = sim.run(st, 1)         # warmup block (includes step compile)
     jax.block_until_ready(th)
-    log(f"step compile + first block: {time.time() - t0:.1f}s")
+    log(f"warmup block: {time.time() - t0:.1f}s")
 
-    n_blocks = max(1, args.steps // cfg.thermo_every)
+    n_blocks = max(1, steps // thermo)
     t0 = time.time()
     st, th = sim.run(st, n_blocks)
     jax.block_until_ready(th)
-    dt_wall = time.time() - t0
-    steps = n_blocks * cfg.thermo_every
-    aps = n * steps / dt_wall
-    log(f"{steps} steps in {dt_wall:.2f}s -> {aps:,.0f} atom-steps/s; "
-        f"T={float(th.temp[-1]):.1f}K E={float(th.conserved[-1]):.2f}eV "
-        f"overflow={bool(st.overflow)}")
+    wall = time.time() - t0
+    aps = n * n_blocks * thermo / wall
+    log(f"{n_blocks * thermo} steps in {wall:.2f}s -> {aps:,.0f} atom-steps/s"
+        f"  T={float(th.temp[-1]):.1f}K rebuilds={sim.rebuild_count}"
+        f" overflow={bool(st.overflow)}")
+    assert not bool(st.overflow)
+    return aps
 
-    baseline = 0.559 * 152880       # reference aggregate atom-steps/s
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--thermo", type=int, default=10)
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--n-cells", type=int, default=24)
+    args = ap.parse_args()
+
+    import numpy as np
+    from meng_zhang_tpu.io.potential import read_ann
+    from meng_zhang_tpu.models.annp import make_annp
+
+    use_ref = (not args.synthetic) and os.path.exists(ZIP)
+    if use_ref:
+        try:
+            import tempfile
+            from meng_zhang_tpu.io.lammps_data import read_data
+            tmp = tempfile.mkdtemp(prefix="mzbench")
+            zipfile.ZipFile(ZIP).extractall(tmp)
+            base = os.path.join(tmp, "performance comparsion")
+            d = read_data(os.path.join(base, "fe_st.dat"))
+            pot = read_ann(os.path.join(base, "fe_annp_potential_2.ann"))
+            pbc = (False, True, False)           # boundary m p m
+            mcfg, params = make_annp(pot, pbc=pbc)
+            log(f"reference scene: {d.n} atoms, box {d.box}, NPT y-couple")
+            aps = run_md(d.x, d.box, pbc, "npt", (False, True, False),
+                         args.steps, args.thermo, mcfg, params,
+                         capacity=256, skin=2.0)
+            print(json.dumps({
+                "metric": "reference 152880-atom bcc-Fe NPT (in.st_test scene)",
+                "value": round(aps, 1),
+                "unit": "atom-steps/s",
+                "vs_baseline": round(aps / BASELINE_APS, 3),
+            }))
+            return
+        except Exception as e:
+            log("reference-scene bench failed, falling back:", repr(e))
+
+    from meng_zhang_tpu.geometry.lattice import bcc
+    x_np, box_np = bcc(args.n_cells)
+    rng = np.random.default_rng(0)
+    x_np = x_np + rng.normal(scale=0.03, size=x_np.shape)
+    pot = read_ann(FE_ANN)
+    mcfg, params = make_annp(pot)
+    log(f"synthetic scene: {len(x_np)} atoms NVE")
+    aps = run_md(x_np, box_np, (True,) * 3, "nve", (False,) * 3,
+                 args.steps, args.thermo, mcfg, params,
+                 capacity=256, skin=2.0)
     print(json.dumps({
         "metric": "bcc-Fe annp NVE throughput",
         "value": round(aps, 1),
         "unit": "atom-steps/s",
-        "vs_baseline": round(aps / baseline, 3),
+        "vs_baseline": round(aps / BASELINE_APS, 3),
     }))
 
 

@@ -74,6 +74,7 @@ class MDConfig:
     nhc_len: int = 3
     thermo_every: int = 10
     with_rev: bool = False          # build reverse-slot maps (Pallas force path)
+    pbc: tuple = (True, True, True)
 
 
 def create_velocities(key, masses, t_target, dtype=jnp.float32):
@@ -108,11 +109,12 @@ class Simulator:
         rlist = c.cutoff + c.skin
         if c.nbr_method == "n2":
             return build_neighbors_n2(x, box, rlist, c.capacity,
-                                      with_rev=c.with_rev)
+                                      with_rev=c.with_rev, pbc=c.pbc)
         dims = c.cell_dims
         assert dims is not None, "cell_dims required for cell neighbor method"
         return build_neighbors_cell(x, box, rlist, c.capacity, dims,
-                                    c.cell_capacity, with_rev=c.with_rev)
+                                    c.cell_capacity, with_rev=c.with_rev,
+                                    pbc=c.pbc)
 
     # ---------- single step ----------
     def _eval_force(self, x, box, nbrs):
@@ -148,7 +150,8 @@ class Simulator:
         # exact 0.5*skin bound, leaving drift margin for the steps until the
         # host rebuilds at the next block boundary, see run()).
         nbrs = s.nbrs
-        stale = s.stale | needs_rebuild(nbrs, x, box, 0.8 * self.cfg.skin)
+        stale = s.stale | needs_rebuild(nbrs, x, box, 0.8 * self.cfg.skin,
+                                        self.cfg.pbc)
         pe, f, w = self._eval_force(x, box, nbrs)
         v = I.vv_kick(v, f, m, 0.5 * dt)
 
@@ -202,7 +205,8 @@ class Simulator:
     # ---------- state init ----------
     def init_state(self, x, box, v=None, seed=0, t_init=None):
         rlist = self.cfg.cutoff + self.cfg.skin
-        small = [float(b) for b in np.asarray(box) if float(b) < 2.0 * rlist]
+        small = [float(b) for b, p in zip(np.asarray(box), self.cfg.pbc)
+                 if p and float(b) < 2.0 * rlist]
         if small:
             raise ValueError(
                 f"box edges {small} are below 2*(cutoff+skin)={2 * rlist:.2f} A: "
@@ -264,10 +268,12 @@ class Simulator:
         list at block boundaries whenever a step flagged staleness. One
         device->host bool sync per block; everything else stays on device."""
         thermos = []
+        self.rebuild_count = 0
         for _ in range(n_blocks):
             state, th = self.run_device(state, 1)
             thermos.append(th)
             if bool(state.stale):
                 state = self._rebuild(state)
+                self.rebuild_count += 1
         return state, jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs), *thermos)

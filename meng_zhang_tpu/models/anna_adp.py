@@ -48,13 +48,15 @@ class AnnaConfig:
     act_style: str
     e_base: float
     e_scale: float
+    pbc: tuple = (True, True, True)
 
 
-def make_anna(pot: AnnaPotential, dtype=jnp.float32):
+def make_anna(pot: AnnaPotential, dtype=jnp.float32,
+              pbc=(True, True, True)):
     cfg = AnnaConfig(npsf=pot.npsf, ntsf=pot.ntsf, cut=pot.cut,
                      flagact=pot.networks[0].flagact,
                      act_style=pot.networks[0].act_style,
-                     e_base=pot.e_base, e_scale=pot.e_scale)
+                     e_base=pot.e_base, e_scale=pot.e_scale, pbc=tuple(pbc))
     ne = len(pot.elements)
     nl = pot.networks[0].n_layers
     params = {
@@ -67,10 +69,10 @@ def make_anna(pot: AnnaPotential, dtype=jnp.float32):
     return cfg, params
 
 
-def _gather_dx(x, box, nbr_idx):
+def _gather_dx(x, box, nbr_idx, pbc=(True, True, True)):
     n = x.shape[0]
     x_pad = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)], axis=0)
-    dx = min_image(x[:, None, :] - x_pad[nbr_idx], box)
+    dx = min_image(x[:, None, :] - x_pad[nbr_idx], box, pbc)
     mask = nbr_idx < n
     return dx, mask
 
@@ -95,7 +97,7 @@ def local_params(cfg: AnnaConfig, params, x, box, nbr_idx, elems=None,
         return mlp_apply(w, b, cfg.flagact, cfg.act_style, g)
 
     if n <= chunk:
-        dx, mask = _gather_dx(x, box, nbr_idx)
+        dx, mask = _gather_dx(x, box, nbr_idx, cfg.pbc)
         return jax.vmap(one)(dx, mask, elems)
 
     n_pad = -(-n // chunk) * chunk
@@ -110,7 +112,7 @@ def local_params(cfg: AnnaConfig, params, x, box, nbr_idx, elems=None,
 
     def chunk_fn(args):
         xi, idx, el = args
-        dx = min_image(xi[:, None, :] - x_pad[idx], box)
+        dx = min_image(xi[:, None, :] - x_pad[idx], box, cfg.pbc)
         mask = idx < n
         return jax.vmap(one)(dx, mask, el)
 
@@ -164,7 +166,7 @@ def _atom_energies_fields_block(cfg: AnnaConfig, params, xc, x_all, box,
     rc = cfg.cut
     n_all = x_all.shape[0]
     x_pad = jnp.concatenate([x_all, jnp.zeros((1, 3), x_all.dtype)], axis=0)
-    dx = min_image(xc[:, None, :] - x_pad[nbr_idx], box)
+    dx = min_image(xc[:, None, :] - x_pad[nbr_idx], box, cfg.pbc)
     mask = nbr_idx < n_all
     if eps is not None:
         dx = dx @ (jnp.eye(3, dtype=xc.dtype) + eps)
@@ -315,7 +317,7 @@ def _ef_impl(cfg: AnnaConfig, params, x, box, nbr_idx, elems, want_virial,
     x_pad = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)], axis=0)
 
     def force_block(xc, idx, lpc, rhoc, muc, lamc):
-        dx = min_image(xc[:, None, :] - x_pad[idx], box)     # [C,K,3]
+        dx = min_image(xc[:, None, :] - x_pad[idx], box, cfg.pbc)  # [C,K,3]
         mask = idx < n
         rsq = jnp.sum(dx * dx, axis=-1)
         m = mask & (rsq < rc * rc)

@@ -47,13 +47,15 @@ class AnnpConfig:
     act_style: str
     e_scale: float
     e_shift: float           # includes e_atom for fe
+    pbc: tuple = (True, True, True)
 
     @property
     def nsf(self) -> int:
         return self.npsf + self.ntsf
 
 
-def make_annp(pot: AnnpPotential, dtype=jnp.float32):
+def make_annp(pot: AnnpPotential, dtype=jnp.float32,
+              pbc=(True, True, True)):
     """Build (config, params-pytree) from a parsed `.ann` potential.
 
     The ni variant is selected by the presence of the symmetry-function
@@ -66,12 +68,13 @@ def make_annp(pot: AnnpPotential, dtype=jnp.float32):
         cfg = AnnpConfig(
             descriptor=SYM_BEHLER, npsf=pot.npsf, ntsf=pot.ntsf, cut=pot.cut,
             flagact=pot.networks[0].flagact, act_style=pot.networks[0].act_style,
-            e_scale=NI_HARTREE_EV, e_shift=0.0)
+            e_scale=NI_HARTREE_EV, e_shift=0.0, pbc=tuple(pbc))
     else:
         cfg = AnnpConfig(
             descriptor=SYM_CHEBYSHEV, npsf=pot.npsf, ntsf=pot.ntsf, cut=pot.cut,
             flagact=pot.networks[0].flagact, act_style=pot.networks[0].act_style,
-            e_scale=pot.e_scale, e_shift=pot.e_shift + pot.e_atom)
+            e_scale=pot.e_scale, e_shift=pot.e_shift + pot.e_atom,
+            pbc=tuple(pbc))
 
     ne = len(pot.elements)
     nl = pot.networks[0].n_layers
@@ -111,17 +114,17 @@ def raw_nn_energy(cfg: AnnpConfig, params, dx, mask, elem=0):
     return (e - cfg.e_shift) / cfg.e_scale
 
 
-def _gather_dx(x, box, nbr_idx):
+def _gather_dx(x, box, nbr_idx, pbc=(True, True, True)):
     n = x.shape[0]
     x_pad = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)], axis=0)
-    dx = min_image(x[:, None, :] - x_pad[nbr_idx], box)
+    dx = min_image(x[:, None, :] - x_pad[nbr_idx], box, pbc)
     mask = nbr_idx < n
     return dx, mask
 
 
 def atom_energies(cfg: AnnpConfig, params, x, box, nbr_idx, elems=None):
     """Per-atom energies [N] from positions and a padded neighbor table."""
-    dx, mask = _gather_dx(x, box, nbr_idx)
+    dx, mask = _gather_dx(x, box, nbr_idx, cfg.pbc)
     if elems is None:
         elems = jnp.zeros(x.shape[0], dtype=jnp.int32)
     return jax.vmap(partial(atom_energy, cfg, params))(dx, mask, elems)
@@ -157,7 +160,8 @@ def _chunk_energy_cheb(cfg: AnnpConfig, params, xc, xpad, idx, box,
     rsq = jnp.zeros(idx.shape, xc[0].dtype)
     for d in range(3):
         dd = xc[d][:, None] - xpad[d][idx]
-        dd = dd - box[d] * jnp.round(dd / box[d])
+        if cfg.pbc[d]:
+            dd = dd - box[d] * jnp.round(dd / box[d])
         dx.append(dd)
         rsq = rsq + dd * dd
     mask = mask & (rsq < rc * rc) & (rsq > 1.0e-12)
@@ -261,7 +265,7 @@ def energy_forces_virial(cfg: AnnpConfig, params, x, box, nbr_idx, elems=None):
         elems = jnp.zeros(x.shape[0], dtype=jnp.int32)
 
     def strained(eps, xx):
-        dx, mask = _gather_dx(xx, box, nbr_idx)
+        dx, mask = _gather_dx(xx, box, nbr_idx, cfg.pbc)
         dx = dx @ (jnp.eye(3, dtype=x.dtype) + eps)
         e_at = jax.vmap(partial(atom_energy, cfg, params))(dx, mask, elems)
         return jnp.sum(e_at)

@@ -261,6 +261,7 @@ class PallasAnnp:
 
     def __init__(self, cfg, params):
         self.npsf, self.ntsf = cfg.npsf, cfg.ntsf
+        self.pbc = tuple(getattr(cfg, "pbc", (True, True, True)))
         nsf = cfg.nsf
         self.cfg_key = (
             ("npsf", cfg.npsf), ("ntsf", cfg.ntsf), ("rc", cfg.cut),
@@ -280,32 +281,49 @@ class PallasAnnp:
         self.w3 = w3.astype(dt)                  # [1, nnod]
         self.b3 = b3.reshape(1, -1).astype(dt)
 
-    def _pair_dx(self, x, box, nbr_idx):
+    def _pair_dx(self, x, box, nbr_idx, row_chunk=4096):
         """[N_pad, K] displacement components; rows padded to TILE multiple.
 
-        Neighbor coordinates come from ONE row gather of an [N+1, 8]-packed
-        position table: on this TPU a single 8-float-row gather runs ~8x
-        faster than three scalar gathers of the same slots.
+        Neighbor coordinates come from row gathers of an [N+1, 8]-packed
+        position table (one 8-float-row gather runs ~8x faster than three
+        scalar gathers of the same slots). The gather's [C, K, 8] output is
+        lane-padded 16x by TPU tiling, so it is produced in row chunks and
+        immediately reduced to the three [C, K] components.
         """
         n = x.shape[0]
+        k = nbr_idx.shape[1]
         n_pad = -(-n // TILE) * TILE
         idx = nbr_idx
         if n_pad != n:
             idx = jnp.concatenate(
                 [idx, jnp.full((n_pad - n, idx.shape[1]), n, jnp.int32)])
+        xi_all = x if n_pad == n else jnp.concatenate(
+            [x, jnp.zeros((n_pad - n, 3), x.dtype)])
         x8 = jnp.pad(x, ((0, 1), (0, 5)))                  # [N+1, 8]
-        xj = x8[jnp.minimum(idx, n)]                       # [N_pad, K, 8]
-        valid = idx < n
-        out = []
-        for d in range(3):
-            xi = x[:, d] if n_pad == n else jnp.concatenate(
-                [x[:, d], jnp.zeros((n_pad - n,), x.dtype)])
-            dd = xi[:, None] - xj[:, :, d]
-            dd = dd - box[d] * jnp.round(dd / box[d])
-            # push masked slots far outside the cutoff
-            dd = jnp.where(valid, dd, 2.0 * box[d] + 10.0)
-            out.append(dd)
-        return out
+
+        def block(idx_c, xi_c):
+            xj = x8[jnp.minimum(idx_c, n)]                 # [C, K, 8]
+            valid = idx_c < n
+            out = []
+            for d in range(3):
+                dd = xi_c[:, d][:, None] - xj[:, :, d]
+                if self.pbc[d]:
+                    dd = dd - box[d] * jnp.round(dd / box[d])
+                out.append(jnp.where(valid, dd, 2.0 * box[d] + 10.0))
+            return tuple(out)
+
+        if n_pad <= row_chunk:
+            return list(block(idx, xi_all))
+        c_pad = -(-n_pad // row_chunk) * row_chunk
+        if c_pad != n_pad:
+            idx = jnp.concatenate(
+                [idx, jnp.full((c_pad - n_pad, k), n, jnp.int32)])
+            xi_all = jnp.concatenate(
+                [xi_all, jnp.zeros((c_pad - n_pad, 3), x.dtype)])
+        outs = jax.lax.map(lambda a: block(*a),
+                           (idx.reshape(-1, row_chunk, k),
+                            xi_all.reshape(-1, row_chunk, 3)))
+        return [o.reshape(c_pad, k)[:n_pad] for o in outs]
 
     def _mlp_eat_dedg(self, g_pad):
         """XLA-side tiny MLP forward + hand VJP from padded raw descriptors."""
@@ -345,7 +363,8 @@ class PallasAnnp:
             xi = xc[:, d] if n_pad == cc else jnp.concatenate(
                 [xc[:, d], jnp.zeros((n_pad - cc,), xc.dtype)])
             dd = xi[:, None] - xj[:, :, d]
-            dd = dd - box[d] * jnp.round(dd / box[d])
+            if self.pbc[d]:
+                dd = dd - box[d] * jnp.round(dd / box[d])
             dd = jnp.where(valid, dd, 2.0 * box[d] + 10.0)
             out.append(dd)
         return out

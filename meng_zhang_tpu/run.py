@@ -58,6 +58,10 @@ def build_parser():
     nb = ap.add_argument_group("neighbors")
     nb.add_argument("--skin", type=float, default=2.0, help="A (in.st_test:9)")
     nb.add_argument("--capacity", type=int, default=256)
+    nb.add_argument("--boundary", default="p p p",
+                    help="per-axis boundary like LAMMPS, e.g. 'm p m' "
+                         "(the benchmark scene, in.st_test:7); "
+                         "m/f/s = non-periodic, p = periodic")
 
     out = ap.add_argument_group("output")
     out.add_argument("--thermo", type=int, default=10, help="steps per row")
@@ -102,15 +106,19 @@ def main(argv=None):
         sys.exit("error: provide --data or --lattice")
 
     # ---- potential/model ----
+    btoks = args.boundary.split() if " " in args.boundary else list(args.boundary)
+    pbc = tuple(t.lower().startswith("p") for t in btoks)
+    if len(pbc) != 3:
+        sys.exit("error: --boundary needs three axis letters, e.g. 'm p m'")
     is_anna = (args.model == "anna") if args.model else \
         args.potential.endswith(".anna")
     if is_anna:
         pot = read_anna(args.potential)
-        mcfg, params = anna_adp.make_anna(pot)
+        mcfg, params = anna_adp.make_anna(pot, pbc=pbc)
         model_name = "anna_adp"
     else:
         pot = read_ann(args.potential)
-        mcfg, params = annp.make_annp(pot)
+        mcfg, params = annp.make_annp(pot, pbc=pbc)
         model_name = "annp-" + ("behler" if pot.sym_coerad is not None
                                 else "chebyshev")
     mass = float(masses_in[0]) if masses_in is not None else float(pot.masses[0])
@@ -151,7 +159,8 @@ def main(argv=None):
         nbr_method=nbr_method, cell_dims=dims if nbr_method == "cell" else None,
         ensemble=args.ensemble, t_target=args.temp, tau_t=args.tdamp,
         damp=args.tdamp, p_target=(args.press,) * 3, p_couple=couple,
-        tau_p=args.pdamp, thermo_every=args.thermo, with_rev=use_pallas)
+        tau_p=args.pdamp, thermo_every=args.thermo, with_rev=use_pallas,
+        pbc=pbc)
     masses = jnp.full(len(x_np), mass, jnp.float32)
     sim = Simulator(force_fn, masses, cfg)
 
@@ -201,7 +210,8 @@ def main(argv=None):
     wall = time.time() - t0
     steps = n_blocks * args.thermo
     log(f"Loop time {wall:.2f} s for {steps} steps with {len(x_np)} atoms "
-        f"({len(x_np) * steps / wall:,.0f} atom-steps/s)")
+        f"({len(x_np) * steps / wall:,.0f} atom-steps/s, "
+        f"{getattr(sim, 'rebuild_count', 0)} neighbor rebuilds)")
     if bool(st.overflow):
         log("WARNING: neighbor capacity overflow occurred (results unsafe); "
             "raise --capacity")

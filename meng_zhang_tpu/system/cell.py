@@ -11,15 +11,21 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def min_image(dx, box):
+def min_image(dx, box, pbc=(True, True, True)):
     """Nearest-image displacement for an orthogonal box.
 
     Args:
       dx: [..., 3] raw displacement(s) x_i - x_j.
       box: [3] orthogonal box edge lengths.
+      pbc: static per-axis periodicity (the reference benchmark runs
+        `boundary m p m`, in.st_test:7 -- only y periodic).
     """
     box = jnp.asarray(box, dtype=dx.dtype)
-    return dx - box * jnp.round(dx / box)
+    wrapped = dx - box * jnp.round(dx / box)
+    if all(pbc):
+        return wrapped
+    keep = jnp.asarray([not p for p in pbc], dtype=bool)
+    return jnp.where(keep, dx, wrapped)
 
 
 def wrap(x, box):

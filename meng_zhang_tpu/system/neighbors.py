@@ -68,10 +68,11 @@ def _compact_rows(within, cand_idx, capacity, n_sentinel):
     return keys[:, :capacity], counts
 
 
-def build_neighbors_n2(x, box, cutoff, capacity, with_rev=False):
+def build_neighbors_n2(x, box, cutoff, capacity, with_rev=False,
+                       pbc=(True, True, True)):
     """All-pairs neighbor build (use for N up to a few thousand)."""
     n = x.shape[0]
-    dx = min_image(x[:, None, :] - x[None, :, :], box)
+    dx = min_image(x[:, None, :] - x[None, :, :], box, pbc)
     rsq = jnp.sum(dx * dx, axis=-1)
     # 1e-12 inner epsilon matches the reference's self/overlap guard
     # (fe/src/pair_annp.cpp:142)
@@ -92,7 +93,8 @@ def cell_grid_dims(box, cutoff):
 
 
 def build_neighbors_cell(x, box, cutoff, capacity, dims, cell_capacity,
-                         row_chunk=16384, with_rev=False):
+                         row_chunk=16384, with_rev=False,
+                         pbc=(True, True, True)):
     """Cell-list neighbor build.
 
     Args:
@@ -113,7 +115,10 @@ def build_neighbors_cell(x, box, cutoff, capacity, dims, cell_capacity,
         raise ValueError("cell list needs >= 3 cells per direction; use n2")
 
     box = jnp.asarray(box, dtype=x.dtype)
-    frac = x / box - jnp.floor(x / box)          # wrapped fractional coords
+    frac_w = x / box - jnp.floor(x / box)        # wrapped fractional coords
+    frac_c = jnp.clip(x / box, 0.0, 1.0)         # clamped (non-periodic axes)
+    keep = jnp.asarray(pbc, dtype=bool)
+    frac = jnp.where(keep, frac_w, frac_c)
     dvec = jnp.asarray([nx, ny, nz])
     c3 = jnp.clip((frac * dvec).astype(jnp.int32), 0, dvec - 1)   # [N, 3]
     cid = (c3[:, 0] * ny + c3[:, 1]) * nz + c3[:, 2]              # [N]
@@ -127,14 +132,20 @@ def build_neighbors_cell(x, box, cutoff, capacity, dims, cell_capacity,
     cell_atoms = cell_atoms.at[
         sorted_cid, jnp.minimum(rank, cell_capacity)].set(order, mode="drop")
     cell_atoms = cell_atoms[:, :cell_capacity]                    # [ncell, C]
+    cell_atoms = jnp.concatenate(
+        [cell_atoms, jnp.full((1, cell_capacity), n, jnp.int32)])  # sentinel row
 
     # 27-stencil neighbor cell ids for every cell, with periodic wrap
     offs = jnp.stack(jnp.meshgrid(*([jnp.arange(-1, 2)] * 3), indexing="ij"),
                      axis=-1).reshape(27, 3)
     all3 = jnp.stack(jnp.meshgrid(jnp.arange(nx), jnp.arange(ny), jnp.arange(nz),
                                   indexing="ij"), axis=-1).reshape(ncell, 3)
-    nb3 = (all3[:, None, :] + offs[None, :, :]) % dvec            # [ncell, 27, 3]
+    nb3_raw = all3[:, None, :] + offs[None, :, :]                 # [ncell, 27, 3]
+    in_range = (nb3_raw >= 0) & (nb3_raw < dvec)
+    cell_ok = jnp.all(in_range | jnp.asarray(pbc, bool), axis=-1)  # [ncell, 27]
+    nb3 = nb3_raw % dvec
     nb_cid = (nb3[..., 0] * ny + nb3[..., 1]) * nz + nb3[..., 2]  # [ncell, 27]
+    nb_cid = jnp.where(cell_ok, nb_cid, ncell)   # empty sentinel cell
 
     cut2 = cutoff * cutoff
     # per-component padded coordinates: a [M, 3] candidate-displacement array
@@ -148,7 +159,8 @@ def build_neighbors_cell(x, box, cutoff, capacity, dims, cell_capacity,
         rsq = jnp.zeros(cand.shape, x.dtype)
         for d in range(3):
             dxd = xp[d][ids_c][:, None] - xp[d][cand]
-            dxd = dxd - box[d] * jnp.round(dxd / box[d])
+            if pbc[d]:
+                dxd = dxd - box[d] * jnp.round(dxd / box[d])
             rsq = rsq + dxd * dxd
         within = (cand < n) & (cand != ids_c[:, None]) \
             & (rsq < cut2) & (rsq > 1.0e-12) & (ids < n)[:, None]
@@ -162,7 +174,8 @@ def build_neighbors_cell(x, box, cutoff, capacity, dims, cell_capacity,
     # NPT guard: if the box shrank so a cell edge dropped below the cutoff,
     # the 27-stencil can miss neighbors -- flag it instead of silently
     # losing pairs
-    dims_stale = jnp.any(box / jnp.asarray(dims, box.dtype) < cutoff)
+    dims_stale = jnp.any((box / jnp.asarray(dims, box.dtype) < cutoff)
+                         & jnp.asarray(pbc, bool))
     overflow = jnp.any(counts > capacity) | cell_overflow | dims_stale
     nl = NeighborList(idx=idx, overflow=overflow, ref_x=x,
                       rev=_rev_placeholder())
@@ -171,7 +184,7 @@ def build_neighbors_cell(x, box, cutoff, capacity, dims, cell_capacity,
     return nl
 
 
-def needs_rebuild(nbrs: NeighborList, x, box, skin):
+def needs_rebuild(nbrs: NeighborList, x, box, skin, pbc=(True, True, True)):
     """True when any atom moved more than skin/2 since the list was built.
 
     Replaces the reference benchmark's fixed `neigh_modify every 5`
@@ -181,7 +194,8 @@ def needs_rebuild(nbrs: NeighborList, x, box, skin):
     rsq = jnp.zeros(x.shape[0], x.dtype)
     for d in range(3):
         dd = x[:, d] - nbrs.ref_x[:, d]
-        dd = dd - box[d] * jnp.round(dd / box[d])
+        if pbc[d]:
+            dd = dd - box[d] * jnp.round(dd / box[d])
         rsq = rsq + dd * dd
     return jnp.any(rsq > (0.5 * skin) ** 2)
 
