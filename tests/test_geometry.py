@@ -139,3 +139,23 @@ def test_lammps_data_roundtrip(tmp_path):
     np.testing.assert_allclose(d2.v, data.v, rtol=1e-9)
     np.testing.assert_allclose(d2.masses, data.masses)
     np.testing.assert_allclose(d2.box, data.box)
+
+
+def test_native_reader_matches_python(tmp_path):
+    """C++ reader (native/libmzt.so) vs the pure-Python parser."""
+    from meng_zhang_tpu.io import native
+    if not native.available():
+        import pytest
+        pytest.skip("native library not built")
+    import os
+    data = make_screw_dislocation(num_lattice=(4, 6, 0.5))
+    data.v = np.random.default_rng(1).normal(size=(data.n, 3))
+    p = str(tmp_path / "n.dat")
+    write_data(p, data)
+    nat = native.read_data_native(p)
+    assert nat is not None
+    x, types, v, masses, lo, hi, ntypes = nat
+    np.testing.assert_allclose(x, data.x, rtol=1e-9)
+    np.testing.assert_array_equal(types, data.types)
+    np.testing.assert_allclose(v, data.v, rtol=1e-9)
+    assert ntypes == 2
