@@ -92,6 +92,21 @@ def make_annp(pot: AnnpPotential, dtype=jnp.float32,
     return cfg, params
 
 
+def effective_cutoff(pot: AnnpPotential) -> float:
+    """Smallest neighbor-list cutoff that preserves the model exactly.
+
+    The ni potential's header cutoff is 6.5 A (the LAMMPS list cutoff,
+    ni_annp_potential_2.ann line 10) but its symmetry functions vanish beyond
+    the coefficient-table Rc = 7.3699319 Bohr = 3.90 A
+    (ni/src/pair_annp.cpp:686-766) -- a 6.5 A list carries ~9x more pairs
+    than the descriptors use. For Chebyshev potentials this is just cut."""
+    if pot.sym_coerad is None:
+        return pot.cut
+    rc_bohr = max(float(np.max(pot.sym_coerad[:, 2])),
+                  float(np.max(pot.sym_coeang[:, 3])))
+    return min(pot.cut, rc_bohr / CFLENGTH)
+
+
 def atom_energy(cfg: AnnpConfig, params, dx, mask, elem):
     """Energy of one atom given neighbor displacements dx=[K,3], mask=[K]."""
     rsq = jnp.sum(dx * dx, axis=-1)

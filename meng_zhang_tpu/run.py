@@ -150,12 +150,18 @@ def main(argv=None):
             return annp.energy_forces_virial(mcfg, params, xx, bb, nbrs.idx)
 
     # ---- simulator ----
-    rlist = mcfg.cut + args.skin
+    cut = mcfg.cut
+    if model_name == "annp-behler":
+        from .models.annp import effective_cutoff
+        cut = effective_cutoff(pot)          # ni descriptors vanish at 3.9 A
+        log(f"neighbor cutoff {cut:.3f} A (descriptor range; header lists "
+            f"{mcfg.cut})")
+    rlist = cut + args.skin
     dims = cell_grid_dims(box_np, rlist)
     nbr_method = "cell" if min(dims) >= 3 and len(x_np) > 4096 else "n2"
     couple = tuple(ax in args.couple.lower() for ax in "xyz")
     cfg = MDConfig(
-        dt=args.dt, cutoff=mcfg.cut, skin=args.skin, capacity=args.capacity,
+        dt=args.dt, cutoff=cut, skin=args.skin, capacity=args.capacity,
         nbr_method=nbr_method, cell_dims=dims if nbr_method == "cell" else None,
         ensemble=args.ensemble, t_target=args.temp, tau_t=args.tdamp,
         damp=args.tdamp, p_target=(args.press,) * 3, p_couple=couple,
