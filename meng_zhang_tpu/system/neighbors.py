@@ -92,9 +92,9 @@ def cell_grid_dims(box, cutoff):
     return tuple(max(int(b // cutoff), 1) for b in box)
 
 
-def build_neighbors_cell(x, box, cutoff, capacity, dims, cell_capacity,
-                         row_chunk=16384, with_rev=False,
-                         pbc=(True, True, True)):
+def build_neighbors_cell_rowsweep(x, box, cutoff, capacity, dims,
+                                  cell_capacity, row_chunk=16384,
+                                  with_rev=False, pbc=(True, True, True)):
     """Cell-list neighbor build.
 
     Args:
@@ -174,6 +174,109 @@ def build_neighbors_cell(x, box, cutoff, capacity, dims, cell_capacity,
     # NPT guard: if the box shrank so a cell edge dropped below the cutoff,
     # the 27-stencil can miss neighbors -- flag it instead of silently
     # losing pairs
+    dims_stale = jnp.any((box / jnp.asarray(dims, box.dtype) < cutoff)
+                         & jnp.asarray(pbc, bool))
+    overflow = jnp.any(counts > capacity) | cell_overflow | dims_stale
+    nl = NeighborList(idx=idx, overflow=overflow, ref_x=x,
+                      rev=_rev_placeholder())
+    if with_rev:
+        nl = nl._replace(rev=reverse_slots(nl))
+    return nl
+
+
+def build_neighbors_cell(x, box, cutoff, capacity, dims,
+                         cell_capacity, cell_chunk=64,
+                         with_rev=False, pbc=(True, True, True)):
+    """Cell-list build, cell-blocked variant.
+
+    Same result as `build_neighbors_cell` but organized per cell so neighbor
+    candidates arrive via LARGE-row gathers (one [C*8]-float row per stencil
+    cell) instead of per-element gathers -- pointwise TPU gathers run at
+    ~130M elem/s while multi-KB-row gathers approach HBM bandwidth.
+    """
+    n = x.shape[0]
+    nx, ny, nz = dims
+    ncell = nx * ny * nz
+    if min(dims) < 3:
+        raise ValueError("cell list needs >= 3 cells per direction; use n2")
+
+    box = jnp.asarray(box, dtype=x.dtype)
+    frac_w = x / box - jnp.floor(x / box)
+    frac_c = jnp.clip(x / box, 0.0, 1.0)
+    frac = jnp.where(jnp.asarray(pbc, bool), frac_w, frac_c)
+    dvec = jnp.asarray([nx, ny, nz])
+    c3 = jnp.clip((frac * dvec).astype(jnp.int32), 0, dvec - 1)
+    cid = (c3[:, 0] * ny + c3[:, 1]) * nz + c3[:, 2]
+
+    order = jnp.argsort(cid).astype(jnp.int32)
+    sorted_cid = cid[order]
+    start = jnp.searchsorted(sorted_cid, jnp.arange(ncell), side="left")
+    rank = jnp.arange(n, dtype=jnp.int32) - start[sorted_cid].astype(jnp.int32)
+    cell_overflow = jnp.any(rank >= cell_capacity)
+    cc = cell_capacity
+    # grid[c, slot] = atom id; one extra sentinel cell row at index ncell
+    grid = jnp.full(((ncell + 1) * cc,), n, dtype=jnp.int32)
+    grid = grid.at[sorted_cid * cc + jnp.minimum(rank, cc - 1)].set(
+        order, mode="drop")
+    grid = grid.reshape(ncell + 1, cc)
+
+    # packed per-cell coordinates [ncell+1, cc, 8] -> rows of cc*8 floats
+    x8 = jnp.pad(x, ((0, 1), (0, 5)))                     # [N+1, 8]
+    grid_x8 = x8[jnp.minimum(grid, n)]                    # [ncell+1, cc, 8]
+    grid_x8 = grid_x8.reshape(ncell + 1, cc * 8)
+
+    # stencil cell ids
+    offs = jnp.stack(jnp.meshgrid(*([jnp.arange(-1, 2)] * 3), indexing="ij"),
+                     axis=-1).reshape(27, 3)
+    all3 = jnp.stack(jnp.meshgrid(jnp.arange(nx), jnp.arange(ny),
+                                  jnp.arange(nz), indexing="ij"),
+                     axis=-1).reshape(ncell, 3)
+    nb3_raw = all3[:, None, :] + offs[None, :, :]
+    cell_ok = jnp.all(((nb3_raw >= 0) & (nb3_raw < dvec))
+                      | jnp.asarray(pbc, bool), axis=-1)
+    nb3 = nb3_raw % dvec
+    nb_cid = (nb3[..., 0] * ny + nb3[..., 1]) * nz + nb3[..., 2]
+    nb_cid = jnp.where(cell_ok, nb_cid, ncell)            # [ncell, 27]
+
+    cut2 = cutoff * cutoff
+    n_blocks = -(-ncell // cell_chunk)
+
+    def block_fn(c0):
+        cells = jnp.minimum(c0 + jnp.arange(cell_chunk), ncell - 1)
+        own = grid[cells]                                  # [B, cc]
+        own8 = grid_x8[cells].reshape(cell_chunk, cc, 8)
+        cand = grid[nb_cid[cells]].reshape(cell_chunk, 27 * cc)
+        cand8 = grid_x8[nb_cid[cells]].reshape(cell_chunk, 27 * cc, 8)
+        rsq = jnp.zeros((cell_chunk, cc, 27 * cc), x.dtype)
+        for d in range(3):
+            dd = own8[:, :, None, d] - cand8[:, None, :, d]
+            if pbc[d]:
+                dd = dd - box[d] * jnp.round(dd / box[d])
+            rsq = rsq + dd * dd
+        within = (cand[:, None, :] < n) & (own[:, :, None] < n) \
+            & (cand[:, None, :] != own[:, :, None]) \
+            & (rsq < cut2) & (rsq > 1.0e-12)
+        w2 = within.reshape(cell_chunk * cc, 27 * cc)
+        c2 = jnp.broadcast_to(cand[:, None, :],
+                              (cell_chunk, cc, 27 * cc)
+                              ).reshape(cell_chunk * cc, 27 * cc)
+        idx_rows, counts = _compact_rows(w2, c2, capacity, n)
+        return idx_rows.reshape(cell_chunk, cc, capacity), \
+            counts.reshape(cell_chunk, cc)
+
+    idx_cells, count_cells = jax.lax.map(
+        block_fn, jnp.arange(n_blocks) * cell_chunk)
+    idx_cells = idx_cells.reshape(n_blocks * cell_chunk, cc, capacity)[:ncell]
+    count_cells = count_cells.reshape(-1, cc)[:ncell]
+
+    # back to atom order: atom i sits at (cid[i], rank[inv_order[i]])
+    # (`rank` is indexed by sorted position, not atom id)
+    inv_order = jnp.argsort(order).astype(jnp.int32)
+    rank_atom = rank[inv_order]
+    flat = cid * cc + jnp.minimum(rank_atom, cc - 1)
+    idx = idx_cells.reshape(ncell * cc, capacity)[flat]    # row gather (K ints)
+    counts = count_cells.reshape(-1)[flat]
+
     dims_stale = jnp.any((box / jnp.asarray(dims, box.dtype) < cutoff)
                          & jnp.asarray(pbc, bool))
     overflow = jnp.any(counts > capacity) | cell_overflow | dims_stale
