@@ -83,6 +83,12 @@ def main():
     ap.add_argument("--n-cells", type=int, default=24)
     args = ap.parse_args()
 
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/mzt_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     import numpy as np
     from meng_zhang_tpu.io.potential import read_ann
     from meng_zhang_tpu.models.annp import make_annp

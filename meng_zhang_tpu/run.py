@@ -76,6 +76,11 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
 
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/mzt_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import numpy as np
 
