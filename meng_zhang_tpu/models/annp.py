@@ -225,6 +225,87 @@ def _chunk_energy_cheb(cfg: AnnpConfig, params, xc, xpad, idx, box,
     return jnp.sum(e_at)
 
 
+def _chunk_energy_behler(cfg: AnnpConfig, params, xc, xpad, idx, box,
+                         valid=None):
+    """Behler-Parrinello chunk energy in [C, K] component layout (ni).
+
+    Same layout rules as `_chunk_energy_cheb`; the G4 three-leg geometry
+    (ni/lib/lal_annp.cu:360-460) is reconstructed from the law of cosines
+    (rjk^2 = rj^2 + rk^2 - 2 rj rk cos) so no neighbor-neighbor gather is
+    needed, and the 24 angular functions share exp(-eta r2sum) across their
+    3 distinct eta values.
+    """
+    n = xpad[0].shape[0] - 1
+    coerad = params["coerad"]
+    coeang = np.asarray(params["coeang"])    # static small table
+    rc_r = float(np.asarray(params["coerad"])[0, 2])
+    rc_a = float(coeang[0, 3])
+    mask = idx < n
+    dx = []
+    rsq = jnp.zeros(idx.shape, xc[0].dtype)
+    for d in range(3):
+        dd = xc[d][:, None] - xpad[d][idx]
+        if cfg.pbc[d]:
+            dd = dd - box[d] * jnp.round(dd / box[d])
+        dx.append(dd)
+        rsq = rsq + dd * dd
+    mask = mask & (rsq > 1.0e-12)
+    r = jnp.sqrt(jnp.where(mask, rsq, 1.0))
+    rm = jnp.where(mask, r * CFLENGTH, 2.0 * rc_a + 10.0)   # Bohr
+
+    # radial G2 (rs column unused, matching the reference)
+    in_r = mask & (rm < rc_r)
+    fc_r = jnp.where(in_r, 0.5 * (jnp.cos(jnp.pi / rc_r * rm) + 1.0), 0.0)
+    g_rad = [jnp.sum(jnp.exp(-coerad[m, 0] * rm * rm) * fc_r, axis=1)
+             for m in range(cfg.npsf)]
+
+    # angular legs
+    inv_r = 1.0 / r
+    cosjk = jnp.zeros(idx.shape + (idx.shape[1],), r.dtype)
+    for d in range(3):
+        ud = jnp.where(mask, dx[d] * inv_r, 0.0)
+        cosjk = cosjk + ud[:, :, None] * ud[:, None, :]
+    k_sz = idx.shape[1]
+    pair_m = (mask[:, :, None] & mask[:, None, :]) \
+        & ~jnp.eye(k_sz, dtype=bool)[None]
+    rjk2 = (rm[:, :, None] ** 2 + rm[:, None, :] ** 2
+            - 2.0 * rm[:, :, None] * rm[:, None, :] * cosjk)
+    rjk = jnp.sqrt(jnp.where(pair_m, jnp.maximum(rjk2, 1e-12), 1.0))
+    legs = pair_m & (rm[:, :, None] < rc_a) & (rm[:, None, :] < rc_a) \
+        & (rjk < rc_a)
+    fc_j = jnp.where(rm < rc_a, 0.5 * (jnp.cos(jnp.pi / rc_a * rm) + 1.0), 0.0)
+    fc3 = jnp.where(legs,
+                    fc_j[:, :, None] * fc_j[:, None, :]
+                    * (0.5 * (jnp.cos(jnp.pi / rc_a * rjk) + 1.0)), 0.0)
+    r2sum = rm[:, :, None] ** 2 + rm[:, None, :] ** 2 + jnp.where(
+        legs, rjk2, 0.0)
+
+    g_ang = []
+    last_eta = None
+    exp_term = None
+    for nfun in range(cfg.ntsf):
+        eta, lam, zeta = (float(coeang[nfun, 0]), float(coeang[nfun, 1]),
+                          float(coeang[nfun, 2]))
+        if eta != last_eta:
+            exp_term = jnp.exp(-eta * r2sum) * fc3
+            last_eta = eta
+        flag = 1.0 + lam * cosjk
+        ok = legs & (flag > 0.0)
+        term = 2.0 ** (1.0 - zeta) * jnp.where(ok, flag, 1.0) ** zeta
+        g_ang.append(0.5 * jnp.sum(jnp.where(ok, term * exp_term, 0.0),
+                                   axis=(1, 2)))
+
+    g = jnp.stack(g_rad + g_ang, axis=1)
+    g = (g - params["sf_shift"]) * params["sf_scale"]
+    w = tuple(wl[0] for wl in params["w"])
+    b = tuple(bl[0] for bl in params["b"])
+    out = mlp_apply(w, b, cfg.flagact, cfg.act_style, g)
+    e_at = cfg.e_scale * out[:, 0] + cfg.e_shift
+    if valid is not None:
+        e_at = jnp.where(valid, e_at, 0.0)
+    return jnp.sum(e_at)
+
+
 def energy_chunked(cfg: AnnpConfig, params, x, box, nbr_idx, elems=None,
                    chunk=256):
     """Total energy with atoms processed in rematerialized chunks.
@@ -233,12 +314,12 @@ def energy_chunked(cfg: AnnpConfig, params, x, box, nbr_idx, elems=None,
     (loop_annp, fe/lib/lal_annp.cpp:517-607): the O(chunk * K^2) angular
     intermediates never exceed one chunk's footprint; `jax.checkpoint`
     recomputes them in the backward pass instead of storing all chunks.
-    Currently specialized to single-element Chebyshev potentials (the
-    fe/fe_v2 flagship); falls back to the vmap path otherwise.
+    Specialized [C, K]-layout paths for single-element Chebyshev (fe/fe_v2)
+    and Behler-Parrinello (ni); falls back to the vmap path otherwise.
     """
     n = x.shape[0]
-    if cfg.descriptor != SYM_CHEBYSHEV or (elems is not None
-                                           and bool(params["w"][0].shape[0] > 1)):
+    multi_elem = elems is not None and bool(params["w"][0].shape[0] > 1)
+    if multi_elem:
         return energy(cfg, params, x, box, nbr_idx, elems)
     n_pad = -(-n // chunk) * chunk
     idx_p = _pad_rows(nbr_idx, n_pad - n, n)           # padded rows: all-sentinel
@@ -249,11 +330,13 @@ def energy_chunked(cfg: AnnpConfig, params, x, box, nbr_idx, elems=None,
     idx_c = idx_p.reshape(-1, chunk, nbr_idx.shape[1])
     valid_c = (jnp.arange(n_pad) < n).reshape(-1, chunk)
 
+    chunk_fn = (_chunk_energy_cheb if cfg.descriptor == SYM_CHEBYSHEV
+                else _chunk_energy_behler)
+
     @jax.checkpoint
     def chunk_e(carry, args):
         xc0, xc1, xc2, idx, valid = args
-        e = _chunk_energy_cheb(cfg, params, (xc0, xc1, xc2), xpad, idx, box,
-                               valid)
+        e = chunk_fn(cfg, params, (xc0, xc1, xc2), xpad, idx, box, valid)
         return carry + e, None
 
     total, _ = jax.lax.scan(chunk_e, jnp.zeros((), x.dtype),

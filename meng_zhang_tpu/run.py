@@ -150,6 +150,13 @@ def main(argv=None):
         def force_fn(xx, bb, nbrs):
             return anna_adp.energy_forces_virial(mcfg, params, xx, bb,
                                                  nbrs.idx)
+    elif model_name == "annp-behler" and args.ensemble != "npt":
+        # ni at scale: [C,K]-layout chunked path (no virial -> no pressure
+        # column; use --ensemble npt to force the vmap+virial path)
+        def force_fn(xx, bb, nbrs):
+            e, f = annp.energy_forces_chunked(mcfg, params, xx, bb, nbrs.idx,
+                                              chunk=512)
+            return e, f, jnp.zeros((3, 3), xx.dtype)
     else:
         def force_fn(xx, bb, nbrs):
             return annp.energy_forces_virial(mcfg, params, xx, bb, nbrs.idx)

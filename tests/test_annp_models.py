@@ -128,3 +128,19 @@ def test_energy_chunked_matches_vmap(fe_pot, fe_setup):
     _, f_ref = energy_forces(cfg, params, x, box, nbrs.idx)
     _, f_c = energy_forces_chunked(cfg, params, x, box, nbrs.idx, chunk=16)
     np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_ref), atol=1e-10)
+
+
+def test_ni_energy_chunked_matches_vmap(ni_pot):
+    """The [C,K]-layout Behler path must match the vmap oracle path."""
+    from meng_zhang_tpu.models.annp import energy_chunked, energy_forces_chunked
+    cfg, params = make_annp(ni_pot, dtype=jnp.float64)
+    x, box = perturbed_fcc(n_cells=2, seed=9)
+    xj, bj = jnp.asarray(x), jnp.asarray(box)
+    nbrs = build_neighbors_n2(xj, bj, cfg.cut, 96)
+    e_ref = energy(cfg, params, xj, bj, nbrs.idx)
+    for chunk in (8, 32):
+        e_c = energy_chunked(cfg, params, xj, bj, nbrs.idx, chunk=chunk)
+        np.testing.assert_allclose(float(e_c), float(e_ref), rtol=1e-11)
+    _, f_ref = energy_forces(cfg, params, xj, bj, nbrs.idx)
+    _, f_c = energy_forces_chunked(cfg, params, xj, bj, nbrs.idx, chunk=16)
+    np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_ref), atol=1e-9)
