@@ -41,7 +41,10 @@ def run_md(x_np, box_np, pbc, ensemble, couple, steps, thermo, mcfg, params,
         return pk.energy_forces(xx, bb, nbrs.idx, nbrs.rev, want_virial=True)
 
     rlist = mcfg.cut + skin
-    dims = cell_grid_dims(box_np, rlist)
+    # NPT shrinks the box; size the static cell grid for up to ~8% shrink
+    import numpy as _np
+    dims_box = _np.asarray(box_np) * (0.92 if ensemble == "npt" else 1.0)
+    dims = cell_grid_dims(dims_box, rlist)
     cfg = MDConfig(dt=0.001, cutoff=mcfg.cut, skin=skin, capacity=capacity,
                    nbr_method="cell", cell_dims=dims, cell_capacity=96,
                    ensemble=ensemble, t_target=300.0, tau_t=0.1,
@@ -77,7 +80,7 @@ def run_md(x_np, box_np, pbc, ensemble, couple, steps, thermo, mcfg, params,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--thermo", type=int, default=10)
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--n-cells", type=int, default=24)
@@ -108,7 +111,7 @@ def main():
             log(f"reference scene: {d.n} atoms, box {d.box}, NPT y-couple")
             aps = run_md(d.x, d.box, pbc, "npt", (False, True, False),
                          args.steps, args.thermo, mcfg, params,
-                         capacity=256, skin=2.0)
+                         capacity=256, skin=1.2)
             print(json.dumps({
                 "metric": "reference 152880-atom bcc-Fe NPT (in.st_test scene)",
                 "value": round(aps, 1),

@@ -169,7 +169,9 @@ def main(argv=None):
         log(f"neighbor cutoff {cut:.3f} A (descriptor range; header lists "
             f"{mcfg.cut})")
     rlist = cut + args.skin
-    dims = cell_grid_dims(box_np, rlist)
+    # NPT can shrink the box; size the static cell grid with ~8% margin
+    dims_box = np.asarray(box_np) * (0.92 if args.ensemble == "npt" else 1.0)
+    dims = cell_grid_dims(dims_box, rlist)
     nbr_method = "cell" if min(dims) >= 3 and len(x_np) > 4096 else "n2"
     couple = tuple(ax in args.couple.lower() for ax in "xyz")
     cfg = MDConfig(
