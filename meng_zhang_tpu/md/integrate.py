@@ -60,17 +60,18 @@ def nhc_masses(ndof, t_target, tau, m, dtype):
     return q.at[0].set(ndof * BOLTZ * t_target * tau * tau)
 
 
-def nhc_step(v, masses, nhc: NHCState, q, t_target, ndof, dt):
-    """Half-step Nose-Hoover chain update; returns (scaled v, new chain).
+def nhc_propagate(ke2, nhc: NHCState, q, kt, ndof, dt):
+    """Half-step Nose-Hoover chain update driven by 2*KE of the coupled
+    degrees of freedom; returns (velocity scale factor, new chain).
 
     Standard MTK chain propagation (outer->inner->scale->inner->outer) with a
-    single Suzuki-Yoshida term; adequate at MD timesteps of ~1 fs.
+    single Suzuki-Yoshida term; adequate at MD timesteps of ~1 fs. Used both
+    for the particle thermostat (ke2 = 2*KE of atoms) and for the barostat
+    thermostat of fix npt (ke2 = W * sum v_eps^2, ndof = coupled axes).
     """
     m = q.shape[0]
-    kt = BOLTZ * t_target
     dt2, dt4, dt8 = dt / 2.0, dt / 4.0, dt / 8.0
 
-    ke2 = 2.0 * kinetic_energy(v, masses)
     v_xi = nhc.v_xi
     xi = nhc.xi
 
@@ -83,9 +84,8 @@ def nhc_step(v, masses, nhc: NHCState, q, t_target, ndof, dt):
              else (q[k - 1] * v_xi[k - 1] ** 2 - kt) / q[k])
         v_xi = v_xi.at[k].set((v_xi[k] * coupling + dt4 * g) * coupling)
 
-    # scale particle velocities
+    # scale coupled velocities
     scale = jnp.exp(-dt2 * v_xi[0])
-    v = v * scale
     ke2 = ke2 * scale * scale
     xi = xi + dt2 * v_xi
 
@@ -98,7 +98,14 @@ def nhc_step(v, masses, nhc: NHCState, q, t_target, ndof, dt):
     g_last = (q[m - 2] * v_xi[m - 2] ** 2 - kt) / q[m - 1] if m > 1 else 0.0
     v_xi = v_xi.at[m - 1].add(dt4 * g_last)
 
-    return v, NHCState(xi, v_xi)
+    return scale, NHCState(xi, v_xi)
+
+
+def nhc_step(v, masses, nhc: NHCState, q, t_target, ndof, dt):
+    """Half-step particle Nose-Hoover chain; returns (scaled v, new chain)."""
+    ke2 = 2.0 * kinetic_energy(v, masses)
+    scale, nhc = nhc_propagate(ke2, nhc, q, BOLTZ * t_target, ndof, dt)
+    return v * scale, nhc
 
 
 def nhc_conserved(nhc: NHCState, q, t_target, ndof):

@@ -124,12 +124,16 @@ class Simulator:
         c = self.cfg
         dt = c.dt
         m = self.masses
-        if c.ensemble == "nvt":
+        if c.ensemble in ("nvt", "npt"):
             q = I.nhc_masses(self.ndof, c.t_target, c.tau_t, c.nhc_len,
                              s.v.dtype)
             v, nhc = I.nhc_step(s.v, m, s.nhc, q, c.t_target, self.ndof, dt)
             s = s._replace(v=v, nhc=nhc)
         if c.ensemble == "npt":
+            # fix npt is thermostatted NPH: particle NHC above, plus the
+            # barostat's own chain on v_eps, then the MTK barostat half-step
+            # (LAMMPS fix_nh order: nhc_temp -> nhc_press -> omega_dot -> v).
+            s = self._npt_baro_thermo(s, dt)
             s = self._npt_baro_half(s)
 
         v = I.vv_kick(s.v, s.f, m, 0.5 * dt)
@@ -161,7 +165,8 @@ class Simulator:
                     stale=stale)
         if c.ensemble == "npt":
             s = self._npt_baro_half(s)
-        if c.ensemble == "nvt":
+            s = self._npt_baro_thermo(s, dt)
+        if c.ensemble in ("nvt", "npt"):
             q = I.nhc_masses(self.ndof, c.t_target, c.tau_t, c.nhc_len,
                              s.v.dtype)
             v, nhc = I.nhc_step(s.v, m, s.nhc, q, c.t_target, self.ndof, dt)
@@ -173,6 +178,25 @@ class Simulator:
         vol = s.box[0] * s.box[1] * s.box[2]
         kin = MVV2E * jnp.sum(self.masses[:, None] * s.v * s.v, axis=0)  # [3]
         return (kin + jnp.diagonal(s.virial)) / vol                      # eV/A^3
+
+    def _n_couple(self):
+        return max(1, sum(bool(p) for p in self.cfg.p_couple))
+
+    def _baro_q(self, dtype):
+        """Barostat-thermostat chain masses: ndof = coupled axes, damping
+        tau_p (LAMMPS uses a separate tdamp for etap; tau_p is a fine default)."""
+        return I.nhc_masses(self._n_couple(), self.cfg.t_target,
+                            self.cfg.tau_p, 2, dtype)
+
+    def _npt_baro_thermo(self, s: MDState, dt) -> MDState:
+        """Half-step NHC thermostat on the barostat strain rates v_eps."""
+        c = self.cfg
+        couple = jnp.asarray(c.p_couple, dtype=s.v.dtype)
+        w_mass = I.npt_baro_masses(self.n, c.t_target, c.tau_p, s.v.dtype)
+        ke2 = w_mass * jnp.sum(s.v_eps * s.v_eps * couple)
+        scale, bnhc = I.nhc_propagate(ke2, s.baro_nhc, self._baro_q(s.v.dtype),
+                                      BOLTZ * c.t_target, self._n_couple(), dt)
+        return s._replace(v_eps=s.v_eps * scale, baro_nhc=bnhc)
 
     def _npt_baro_half(self, s: MDState) -> MDState:
         c = self.cfg
@@ -235,11 +259,23 @@ class Simulator:
         vol = s.box[0] * s.box[1] * s.box[2]
         press = (jnp.sum(self._pressure_diag(s)) / 3.0) * NKTV2P
         conserved = s.pe + ke
-        if self.cfg.ensemble == "nvt":
+        if self.cfg.ensemble in ("nvt", "npt"):
             q = I.nhc_masses(self.ndof, self.cfg.t_target, self.cfg.tau_t,
                              self.cfg.nhc_len, s.v.dtype)
             conserved = conserved + I.nhc_conserved(s.nhc, q, self.cfg.t_target,
                                                     self.ndof)
+        if self.cfg.ensemble == "npt":
+            c = self.cfg
+            couple = jnp.asarray(c.p_couple, dtype=s.v.dtype)
+            w_mass = I.npt_baro_masses(self.n, c.t_target, c.tau_p, s.v.dtype)
+            conserved = conserved + 0.5 * w_mass * jnp.sum(
+                s.v_eps * s.v_eps * couple)
+            conserved = conserved + I.nhc_conserved(
+                s.baro_nhc, self._baro_q(s.v.dtype), c.t_target,
+                self._n_couple())
+            p_hydro = (jnp.sum(jnp.asarray(c.p_target, s.v.dtype) * couple)
+                       / self._n_couple()) / NKTV2P
+            conserved = conserved + p_hydro * vol
         return Thermo(step=s.step, temp=temp, pe=s.pe, ke=ke, press=press,
                       vol=vol, conserved=conserved)
 

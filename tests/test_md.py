@@ -107,6 +107,24 @@ def test_npt_stable(anna_system):
     assert 0.85 < v[-1] / v[0] < 1.15           # bounded box response
 
 
+def test_npt_holds_temperature(anna_system):
+    """fix npt is thermostatted (MTK), not NPH: starting cold, the particle
+    NHC must pull T up toward t_target while the barostat runs (this failed
+    before round 2 — the npt branch applied only barostat half-steps and T
+    was uncontrolled)."""
+    force_fn, x, box, masses = anna_system
+    sim = _sim(force_fn, masses, "npt", cutoff=5.055,
+               t_target=300.0, tau_t=0.02, p_target=(0.0, 0.0, 0.0),
+               p_couple=(True, True, True), tau_p=0.5)
+    st = sim.init_state(x, box, seed=6, t_init=120.0)
+    st, th = sim.run(st, 25)                    # 250 steps
+    assert not bool(st.overflow)
+    t = np.asarray(th.temp)
+    assert np.all(np.isfinite(t))
+    # equipartition alone would leave T ~ 60 K; the thermostat must heat it
+    assert t[-1] > 140.0 and t[-1] > t[5]
+
+
 def test_npt_axis_couple_only_y(anna_system):
     """Benchmark-style selective coupling (`fix npt ... y 0 0 1`)."""
     force_fn, x, box, masses = anna_system
