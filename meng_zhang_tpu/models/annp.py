@@ -332,16 +332,22 @@ def energy_chunked(cfg: AnnpConfig, params, x, box, nbr_idx, elems=None,
 
     chunk_fn = (_chunk_energy_cheb if cfg.descriptor == SYM_CHEBYSHEV
                 else _chunk_energy_behler)
+    # Accumulate shift-free: e_shift is -4479 eV/atom, so a carry holding the
+    # shifted total reaches ~-7e8 eV at 152k atoms where f32 ULP is ~64 eV
+    # and each chunk add loses O(ULP). Sum (e_at - e_shift) instead (carry
+    # stays O(N * 1 eV)) and add n*e_shift once at the end, as the Pallas
+    # path does (ops/pallas_annp.py).
+    cfg0 = dataclasses.replace(cfg, e_shift=0.0)
 
     @jax.checkpoint
     def chunk_e(carry, args):
         xc0, xc1, xc2, idx, valid = args
-        e = chunk_fn(cfg, params, (xc0, xc1, xc2), xpad, idx, box, valid)
+        e = chunk_fn(cfg0, params, (xc0, xc1, xc2), xpad, idx, box, valid)
         return carry + e, None
 
     total, _ = jax.lax.scan(chunk_e, jnp.zeros((), x.dtype),
                             (xc[0], xc[1], xc[2], idx_c, valid_c))
-    return total
+    return total + n * cfg.e_shift
 
 
 def energy_forces_chunked(cfg: AnnpConfig, params, x, box, nbr_idx,

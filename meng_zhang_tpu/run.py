@@ -126,7 +126,36 @@ def main(argv=None):
         mcfg, params = annp.make_annp(pot, pbc=pbc)
         model_name = "annp-" + ("behler" if pot.sym_coerad is not None
                                 else "chebyshev")
-    mass = float(masses_in[0]) if masses_in is not None else float(pot.masses[0])
+    # ---- species mapping: data-file atom types -> potential elements ----
+    # LAMMPS maps types to elements via the pair_coeff line; here type t maps
+    # to element t-1 (generator scenes use extra types for the same element,
+    # e.g. the boundary shell -- those clamp to the last element with a note).
+    ne = len(pot.elements)
+    elems = None
+    if types is not None and int(np.max(types)) > ne:
+        if ne == 1:
+            log(f"note: {int(np.max(types))} atom types mapped to the single "
+                f"element {pot.elements[0]} (generator boundary-shell types)")
+        else:
+            sys.exit(f"error: data file has {int(np.max(types))} atom types "
+                     f"but the potential defines only {ne} elements; "
+                     "provide a type->element mapping scene")
+    if ne > 1:
+        if types is None:
+            log(f"note: no atom types in scene; all atoms set to element 0 "
+                f"({pot.elements[0]})")
+        else:
+            elems = jnp.asarray(np.minimum(types, ne) - 1, jnp.int32)
+    # per-atom masses: Masses section if present, else the potential's mass
+    if masses_in is not None and types is not None:
+        masses_np = np.asarray(masses_in)[
+            np.minimum(types, len(masses_in)) - 1]
+    else:
+        pmass = np.asarray(pot.masses)
+        if types is not None and ne > 1:
+            masses_np = pmass[np.minimum(types, ne) - 1]
+        else:
+            masses_np = np.full(len(x_np), float(pmass[0]))
     log(f"model: {model_name}  elements={pot.elements}  cut={mcfg.cut} A  "
         f"atoms={len(x_np)}  box={np.round(box_np, 3)}")
 
@@ -149,17 +178,18 @@ def main(argv=None):
     elif model_name == "anna_adp":
         def force_fn(xx, bb, nbrs):
             return anna_adp.energy_forces_virial(mcfg, params, xx, bb,
-                                                 nbrs.idx)
+                                                 nbrs.idx, elems)
     elif model_name == "annp-behler" and args.ensemble != "npt":
         # ni at scale: [C,K]-layout chunked path (no virial -> no pressure
         # column; use --ensemble npt to force the vmap+virial path)
         def force_fn(xx, bb, nbrs):
             e, f = annp.energy_forces_chunked(mcfg, params, xx, bb, nbrs.idx,
-                                              chunk=512)
+                                              elems, chunk=512)
             return e, f, jnp.zeros((3, 3), xx.dtype)
     else:
         def force_fn(xx, bb, nbrs):
-            return annp.energy_forces_virial(mcfg, params, xx, bb, nbrs.idx)
+            return annp.energy_forces_virial(mcfg, params, xx, bb, nbrs.idx,
+                                             elems)
 
     # ---- simulator ----
     cut = mcfg.cut
@@ -181,7 +211,7 @@ def main(argv=None):
         damp=args.tdamp, p_target=(args.press,) * 3, p_couple=couple,
         tau_p=args.pdamp, thermo_every=args.thermo, with_rev=use_pallas,
         pbc=pbc)
-    masses = jnp.full(len(x_np), mass, jnp.float32)
+    masses = jnp.asarray(masses_np, jnp.float32)
     sim = Simulator(force_fn, masses, cfg)
 
     # ---- minimize ----

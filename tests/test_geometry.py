@@ -141,6 +141,26 @@ def test_lammps_data_roundtrip(tmp_path):
     np.testing.assert_allclose(d2.box, data.box)
 
 
+def test_read_data_nonzero_origin(tmp_path):
+    """Boxes with nonzero xlo/ylo/zlo (shrink-wrapped/centered) must land in
+    the engine's [0, box) frame on read and round-trip back exactly."""
+    p = str(tmp_path / "o.dat")
+    with open(p, "w") as f:
+        f.write("# centered box\n2 atoms\n1 atom types\n"
+                "-5.0 5.0 xlo xhi\n-2.5 7.5 ylo yhi\n-10.0 0.0 zlo zhi\n"
+                "\nAtoms # atomic\n\n"
+                "1 1 -4.0 -2.0 -9.0\n2 1 4.0 7.0 -1.0\n")
+    d = read_data(p)
+    np.testing.assert_allclose(d.box, [10.0, 10.0, 10.0])
+    np.testing.assert_allclose(d.x, [[1.0, 0.5, 1.0], [9.0, 9.5, 9.0]])
+    assert np.all(d.x >= 0.0) and np.all(d.x < d.box)
+    p2 = str(tmp_path / "o2.dat")
+    write_data(p2, d)
+    d2 = read_data(p2)
+    np.testing.assert_allclose(d2.x, d.x, rtol=1e-12)
+    np.testing.assert_allclose(d2.box_lo, d.box_lo)
+
+
 def test_native_reader_matches_python(tmp_path):
     """C++ reader (native/libmzt.so) vs the pure-Python parser."""
     from meng_zhang_tpu.io import native
