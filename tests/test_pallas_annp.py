@@ -68,6 +68,43 @@ def test_pallas_momentum_conservation_exact(setup):
                                atol=1e-10)
 
 
+def test_short_repack_parity(fe_pot):
+    """Repacked (k_short) evaluation == full-width evaluation: the skin list
+    at Rc+skin carries out-of-cutoff entries the kernels mask; compacting
+    them away must not change E, F, or W beyond f.p. summation order."""
+    cfg, params = make_annp(fe_pot, dtype=jnp.float64)
+    x, box = perturbed_bcc(n_cells=3)
+    nbrs = build_neighbors_n2(jnp.asarray(x), jnp.asarray(box),
+                              cfg.cut + 1.2, 256, with_rev=True)
+    pk_full = PallasAnnp(cfg, params, k_short=None)
+    pk_short = PallasAnnp(cfg, params, k_short=128)
+    e0, f0, w0 = pk_full.energy_forces(x, box, nbrs.idx, nbrs.rev,
+                                       want_virial=True)
+    e1, f1, w1 = pk_short.energy_forces(x, box, nbrs.idx, nbrs.rev,
+                                        want_virial=True)
+    np.testing.assert_allclose(float(e1), float(e0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                               rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w0),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(jnp.sum(f1, axis=0)), np.zeros(3),
+                               atol=1e-10)
+
+
+def test_short_repack_overflow_poisons(fe_pot):
+    """k_short smaller than the true in-cutoff count must poison the outputs
+    (NaN), never silently drop pairs."""
+    cfg, params = make_annp(fe_pot, dtype=jnp.float64)
+    x, box = perturbed_bcc(n_cells=3)
+    nbrs = build_neighbors_n2(jnp.asarray(x), jnp.asarray(box),
+                              cfg.cut + 1.2, 256, with_rev=True)
+    pk = PallasAnnp(cfg, params, k_short=16)
+    e, f = pk.energy_forces(jnp.asarray(x), jnp.asarray(box),
+                            nbrs.idx, nbrs.rev)
+    assert not np.isfinite(float(e))
+    assert not np.all(np.isfinite(np.asarray(f)))
+
+
 def test_reverse_slots_property(setup):
     _, _, x, box, nbrs = setup
     idx = np.asarray(nbrs.idx)
