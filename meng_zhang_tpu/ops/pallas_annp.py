@@ -412,16 +412,26 @@ class PallasAnnp:
         """Compact every neighbor row to its in-cutoff entries (stable),
         sliced to k_short columns.
 
-        Returns (dxx, dxy, dxz [P, Ks], idx [P, Ks], rev [P, Ks], ok [P, Ks],
-        overflow). `rev` is rewritten for the compacted layout: the partner
-        slot of pair (i, s) becomes i's *in-cutoff rank* within row j. Ranks
-        travel to the owning slots via the same sort-by-destination involution
-        the force assembly uses (a gather-free permutation), so no reverse
-        map is ever searched per step.
+        Returns (dxx, dxy, dxz [P, Ks], akey [P, Ks], ok [P, Ks], overflow).
+
+        `akey` is the force-assembly sort key, built so ONE variadic sort
+        delivers every pair contribution to its partner's compacted slot
+        with no reverse-rank bookkeeping. Key bands: row j owns
+        [j*2K, (j+1)*2K). A real pair entry (i, s) whose partner sits at
+        original slot t = rev[i, s] of row j gets key j*2K + t (t < K);
+        filler lanes of row i (lane >= count_i) get i*2K + K + lane. Each
+        band then holds exactly count_j real keys (one per in-cutoff
+        neighbor of j -- the cutoff test is symmetric) plus Ks - count_j
+        fillers, so band j occupies output rows [j*Ks, (j+1)*Ks); within the
+        band, real keys sort by t, which is precisely the stable-compaction
+        lane order of row j. A key set built this way is a permutation
+        delivery without ever materializing ranks. int32 keys cap N at
+        2^31 / 2K (~4.2M atoms at K=256).
         """
         p, k = dxx.shape          # rows padded to TILE
         ks = self.k_short
         rc = dict(self.cfg_key)["rc"]
+        assert k <= 512, "int32 (row, slot) packing assumes capacity <= 512"
         idx = nbr_idx
         rev = rev_slots
         if idx.shape[0] != p:
@@ -430,25 +440,39 @@ class PallasAnnp:
             rev = jnp.concatenate([rev, jnp.full((pad, k), k, jnp.int32)])
         rsq = dxx * dxx + dxy * dxy + dxz * dxz
         mask = (idx < n) & (rsq < rc * rc) & (rsq > 1.0e-12)
-        rank = jnp.cumsum(mask.astype(jnp.int32), axis=1) - mask  # exclusive
-        counts = rank[:, -1] + mask[:, -1]
+        counts = jnp.sum(mask.astype(jnp.int32), axis=1)
         overflow = jnp.any(counts > ks)
-        # partner's compacted slot = my rank, delivered via involution sort
-        ok = mask & (rev < k)
-        own = jnp.arange(p * k, dtype=jnp.int32).reshape(p, k)
-        dest = jnp.where(ok, jnp.minimum(idx, n - 1) * k + rev, own)
-        _, rev_rank = jax.lax.sort(
-            (dest.reshape(-1), rank.reshape(-1)), num_keys=1)
-        rev_rank = jnp.where(ok, rev_rank.reshape(p, k), ks)
+        # pack (partner row, partner original slot) into one int32 payload:
+        # idx < 2^18 rows, rev <= 256 -> 9 bits
+        packed = jnp.minimum(idx, n) * 512 + jnp.minimum(rev, k)
         # stable partition: in-cutoff entries first, original order kept
         key = 1 - mask.astype(jnp.int32)
-        _, dxx, dxy, dxz, idx, rev_rank = jax.lax.sort(
-            (key, dxx, dxy, dxz, idx, rev_rank), dimension=1, num_keys=1)
+        _, dxx, dxy, dxz, packed = jax.lax.sort(
+            (key, dxx, dxy, dxz, packed), dimension=1, num_keys=1)
         sl = slice(None, ks)
-        ok_c = (jax.lax.broadcasted_iota(jnp.int32, (p, ks), 1)
-                < counts[:, None])
-        return (dxx[:, sl], dxy[:, sl], dxz[:, sl], idx[:, sl],
-                rev_rank[:, sl], ok_c, overflow)
+        dxx, dxy, dxz, packed = dxx[:, sl], dxy[:, sl], dxz[:, sl], packed[:, sl]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (p, ks), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (p, ks), 0)
+        ok = lane < counts[:, None]
+        j_c = packed // 512
+        t_c = packed - j_c * 512
+        akey = jnp.where(ok & (t_c < k),
+                         j_c * (2 * k) + t_c,
+                         row * (2 * k) + k + lane)
+        return dxx, dxy, dxz, akey, ok, overflow
+
+    def _assemble(self, fjx, fjy, fjz, akey, ok, n, ks):
+        """F_a = -sum_s Fj[a,s] + sum(partner contributions) via ONE banded
+        sort (see _short_repack for the key construction)."""
+        p = fjx.shape[0]
+        _, px, py, pz = jax.lax.sort(
+            (akey.reshape(-1), fjx.reshape(-1), fjy.reshape(-1),
+             fjz.reshape(-1)), num_keys=1)
+        f = []
+        for fj, part in zip((fjx, fjy, fjz), (px, py, pz)):
+            own = -jnp.sum(fj[:n], axis=1)
+            f.append(own + jnp.sum(part.reshape(p, ks)[:n], axis=1))
+        return jnp.stack(f, axis=1)
 
     def energy_dedg(self, x, box, nbr_idx):
         n = x.shape[0]
@@ -468,9 +492,9 @@ class PallasAnnp:
         dxx, dxy, dxz = self._pair_dx(x, box, nbr_idx)
         overflow = None
         if self.k_short is not None and self.k_short < k:
-            (dxx, dxy, dxz, idx_s, rev_s, ok, overflow) = self._short_repack(
+            (dxx, dxy, dxz, akey, ok, overflow) = self._short_repack(
                 dxx, dxy, dxz, nbr_idx, rev_slots, n)
-            k = self.k_short
+            ks = self.k_short
         else:
             p = dxx.shape[0]
             idx_s, rev_s = nbr_idx, rev_slots
@@ -481,28 +505,20 @@ class PallasAnnp:
                 rev_s = jnp.concatenate(
                     [rev_s, jnp.full((pad, k), k, jnp.int32)])
             ok = (idx_s < n) & (rev_s < k)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (p, k), 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (p, k), 0)
+            # same banded key scheme, full width: filler = own (row, lane)
+            # band position (real keys = partner slot, distinct from fillers
+            # because a slot is either a real target or its own filler --
+            # here ok entries' own slots are real targets of their partners)
+            akey = jnp.where(ok, jnp.minimum(idx_s, n - 1) * (2 * k) + rev_s,
+                             row * (2 * k) + k + lane)
+            ks = k
         p = dxx.shape[0]
         g_pad = _run_g(dxx, dxy, dxz, self.cfg_key)
         eat, dedg = self._mlp_eat_dedg(g_pad)
         fjx, fjy, fjz = _run_force(dxx, dxy, dxz, dedg, self.cfg_key)
-        # Gather-free partner-sum: the reverse-slot map is an involution on
-        # valid pair slots, so applying it == sorting payloads by destination
-        # key (lax.sort runs ~10x faster than an elementwise gather here).
-        # Invalid slots map to themselves with zero payload, keeping the key
-        # set an exact permutation of [0, P*K).
-        own_flat = (jnp.arange(p * k, dtype=jnp.int32)).reshape(p, k)
-        dest = jnp.where(ok & (rev_s < k),
-                         jnp.minimum(idx_s, n - 1) * k + rev_s,
-                         own_flat).reshape(-1)
-        okf = (ok & (rev_s < k)).reshape(-1)
-        pay = [jnp.where(okf, fj.reshape(-1), 0.0)
-               for fj in (fjx, fjy, fjz)]
-        _, px, py, pz = jax.lax.sort((dest, *pay), num_keys=1)
-        f = []
-        for fj, part in zip((fjx, fjy, fjz), (px, py, pz)):
-            own = -jnp.sum(fj[:n], axis=1)
-            f.append(own + jnp.sum(part.reshape(p, k)[:n], axis=1))
-        forces = jnp.stack(f, axis=1)
+        forces = self._assemble(fjx, fjy, fjz, akey, ok, n, ks)
         # shift-free summation: |e_shift| ~ 4.5e3 eV/atom would swamp f32
         e_shift = dict(self.cfg_key)["e_shift"]
         e = jnp.sum(eat[:n] - e_shift) + n * e_shift
