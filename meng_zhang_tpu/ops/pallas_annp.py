@@ -201,6 +201,226 @@ def _force_kernel(dxx_ref, dxy_ref, dxz_ref, dedg_ref,
 
 TILE = 8
 
+# ---------------------------------------------------------------------------
+# Harmonic (power-spectrum) angular path.
+#
+# The Chebyshev angular descriptors are pair-pair sums of a degree-n
+# polynomial of cos(theta_jk):
+#     G_n = 0.5 sum_{j!=k} T_n((cos+1)/2) fc_j fc_k .
+# Expanding T_n((c+1)/2) = sum_l a_nl P_l(c) (finite, exact -- degree-n
+# polynomial) and applying the spherical-harmonic addition theorem
+# P_l(u_j . u_k) = 4pi/(2l+1) sum_m Y_lm(u_j) Y_lm(u_k) gives
+#     G_n = 0.5 ( sum_l c_nl S_l  -  F2 ),
+#     S_l = sum_m A_lm^2,  A_lm = sum_j fc_j Y_lm(u_j),  F2 = sum_j fc_j^2,
+# with c_nl = a_nl 4pi/(2l+1) and T_n(1) = 1 handling the j==k diagonal.
+# The O(K^2) angular matrices disappear: per-pair work is the L=(ntsf-1)
+# real-harmonic ladder (O(K L^2)), and forces contract per-atom coefficient
+# vectors B_lm = (sum_n dE/dG_n c_nl) A_lm against per-pair harmonic
+# gradients. This replaces the reference's j<k tiled loops
+# (fe/lib/lal_annp.cu:460-588) with a formulation the VPU runs at O(K)
+# instead of O(K^2) -- a TPU-native redesign, not a translation.
+# ---------------------------------------------------------------------------
+
+AB_PAD = 384     # 361 real harmonics for L=18, padded; col 361 carries 2q
+
+
+def _cheb_legendre(ntsf):
+    """c[n, l] with T_n((c+1)/2) = sum_l c_nl (2l+1)/(4pi) P_l... i.e.
+    sum_{j,k} T_n fcfc = sum_l c_nl S_l. Exact via Gauss-Legendre (the
+    integrand is a polynomial of degree <= 2(ntsf-1) < 2*64)."""
+    import numpy as _np
+    nodes, wts = _np.polynomial.legendre.leggauss(64)
+    xs = 0.5 * (nodes + 1.0)
+    t = _np.zeros((ntsf, 64))
+    t[0] = 1.0
+    if ntsf > 1:
+        t[1] = xs
+    for n in range(2, ntsf):
+        t[n] = 2.0 * xs * t[n - 1] - t[n - 2]
+    p = _np.zeros((ntsf, 64))
+    p[0] = 1.0
+    if ntsf > 1:
+        p[1] = nodes
+    for l in range(2, ntsf):
+        p[l] = ((2 * l - 1) * nodes * p[l - 1] - (l - 1) * p[l - 2]) / l
+    # c_nl = 2pi * integral T_n((c+1)/2) P_l(c) dc
+    return 2.0 * _np.pi * _np.einsum("ni,li,i->nl", t, p, wts)
+
+
+def _harm_tables(lmax):
+    """Normalized real-harmonic recurrence coefficients (all O(1) values).
+
+    H_lm(z) are defined so that Y_lm^c = H_lm(z) c_m(x, y) and
+    Y_lm^s = H_lm(z) s_m(x, y) with c_m + i s_m = (x + i y)^m form an
+    ORTHONORMAL real basis on the sphere (addition-theorem normalized):
+    H_lm = k_m N_lm P_l^m(z) / sin^m(theta), k_0 = 1, k_m>0 = sqrt(2),
+    N_lm = sqrt((2l+1)/(4pi) (l-m)!/(l+m)!). Recurrences derived from the
+    unnormalized P_l^m ladder with the normalization folded in so f32
+    intermediates never leave O(1)-O(10)."""
+    import math
+    alpha = {}
+    for l in range(lmax + 1):
+        for m in range(l + 1):
+            nlm = math.sqrt((2 * l + 1) / (4 * math.pi)
+                            * math.factorial(l - m) / math.factorial(l + m))
+            alpha[(l, m)] = (math.sqrt(2.0) if m > 0 else 1.0) * nlm
+    dfact = 1.0
+    h0 = []
+    for m in range(lmax + 1):
+        if m > 0:
+            dfact *= (2 * m - 1)
+        h0.append(alpha[(m, m)] * dfact)
+    d1 = [(2 * m + 1) * alpha[(m + 1, m)] / alpha[(m, m)]
+          for m in range(lmax)]
+    e1, e2 = {}, {}
+    for m in range(lmax + 1):
+        for l in range(m + 2, lmax + 1):
+            e1[(l, m)] = ((2 * l - 1) / (l - m)) * alpha[(l, m)] \
+                / alpha[(l - 1, m)]
+            e2[(l, m)] = ((l + m - 1) / (l - m)) * alpha[(l, m)] \
+                / alpha[(l - 2, m)]
+    return h0, d1, e1, e2
+
+
+def _harm_layout(lmax):
+    """Column order of the A/B vectors: m-major, (l ascending), cosine then
+    sine. Returns l index per column (for the XLA-side B construction)."""
+    l_of_col = []
+    for m in range(lmax + 1):
+        for l in range(m, lmax + 1):
+            l_of_col.append(l)
+            if m > 0:
+                l_of_col.append(l)
+    return l_of_col
+
+
+def _g_kernel_harm(dxx_ref, dxy_ref, dxz_ref, g_ref, a_ref, *, cfg):
+    """Forward: radial Chebyshev G + angular power spectrum.
+
+    g_ref row layout: [0:npsf] radial G, [npsf:npsf+ntsf] S_l power sums,
+    [npsf+ntsf] F2; a_ref: A_lm in _harm_layout order."""
+    npsf, ntsf = cfg["npsf"], cfg["ntsf"]
+    rc = cfg["rc"]
+    lmax = ntsf - 1
+    h0, d1, e1, e2 = _harm_tables(lmax)
+    dxx, dxy, dxz = dxx_ref[:], dxy_ref[:], dxz_ref[:]         # [T, K]
+    r, fc, dfc, inv_r, m, ux, uy, uz = _pair_geometry(dxx, dxy, dxz, rc)
+
+    xch = 2.0 * r / rc - 1.0
+    tp, tc = m, xch * m
+    cols = [jnp.sum(tp * fc, axis=1, keepdims=True),
+            jnp.sum(tc * fc, axis=1, keepdims=True)]
+    for _ in range(2, npsf):
+        tp, tc = tc, 2.0 * xch * tc - tp
+        cols.append(jnp.sum(tc * fc, axis=1, keepdims=True))
+
+    a_ref[:] = jnp.zeros_like(a_ref)
+    s_l = [None] * (lmax + 1)
+    cm, sm = m, jnp.zeros_like(m)                    # (ux+iuy)^0, masked
+    col = 0
+    for mm in range(lmax + 1):
+        if mm > 0:
+            cm, sm = ux * cm - uy * sm, ux * sm + uy * cm
+        h1 = h2 = None
+        for ll in range(mm, lmax + 1):
+            if ll == mm:
+                h = h0[mm] * m
+            elif ll == mm + 1:
+                h = d1[mm] * uz * h1
+            else:
+                h = e1[(ll, mm)] * uz * h1 - e2[(ll, mm)] * h2
+            w = fc * h
+            ac = jnp.sum(w * cm, axis=1, keepdims=True)
+            a_ref[:, col:col + 1] = ac
+            col += 1
+            ss = ac * ac
+            if mm > 0:
+                as_ = jnp.sum(w * sm, axis=1, keepdims=True)
+                a_ref[:, col:col + 1] = as_
+                col += 1
+                ss = ss + as_ * as_
+            s_l[ll] = ss if s_l[ll] is None else s_l[ll] + ss
+            h2, h1 = h1, h
+    cols.extend(s_l)
+    cols.append(jnp.sum(fc * fc, axis=1, keepdims=True))       # F2
+    g_raw = jnp.concatenate(cols, axis=1)
+    g_ref[:] = jnp.pad(g_raw, ((0, 0), (0, NSF_PAD - g_raw.shape[1])))
+
+
+def _force_kernel_harm(dxx_ref, dxy_ref, dxz_ref, dedg_ref, b_ref,
+                       fjx_ref, fjy_ref, fjz_ref, *, cfg):
+    """Per-pair force Fj = -dE_i/dx_j, harmonic angular path, whole tile
+    batched (no [K, K] matrices; dedg_ref holds the radial dE/dG columns,
+    b_ref the 361 B_lm coefficients + 2q at col 361)."""
+    npsf, ntsf = cfg["npsf"], cfg["ntsf"]
+    rc = cfg["rc"]
+    lmax = ntsf - 1
+    h0, d1, e1, e2 = _harm_tables(lmax)
+    dxx, dxy, dxz = dxx_ref[:], dxy_ref[:], dxz_ref[:]
+    r, fc, dfc, inv_r, m, ux, uy, uz = _pair_geometry(dxx, dxy, dxz, rc)
+
+    def wn(n):
+        return dedg_ref[:, n:n + 1]
+
+    # radial: coeff = sum_n w_n (T'_n (2/rc) fc + T_n dfc)
+    xch = 2.0 * r / rc - 1.0
+    tp, tc = m, xch * m
+    dp, dc = jnp.zeros_like(r), m
+    coeff = wn(0) * (tp * dfc)
+    coeff = coeff + wn(1) * (dc * (2.0 / rc) * fc + tc * dfc)
+    for n in range(2, npsf):
+        tp, tc, dp, dc = tc, 2.0 * xch * tc - tp, dc, \
+            2.0 * tc + 2.0 * xch * dc - dp
+        coeff = coeff + wn(n) * (dc * (2.0 / rc) * fc + tc * dfc)
+
+    # angular: SY = sum B Y, (Gx,Gy,Gz) = sum B dY/du
+    sy = jnp.zeros_like(r)
+    gx = jnp.zeros_like(r)
+    gy = jnp.zeros_like(r)
+    gz = jnp.zeros_like(r)
+    cm, sm = m, jnp.zeros_like(m)
+    cm1 = sm1 = None
+    col = 0
+    for mm in range(lmax + 1):
+        if mm > 0:
+            cm1, sm1 = cm, sm
+            cm, sm = ux * cm - uy * sm, ux * sm + uy * cm
+        h1 = h2 = None
+        hd1 = hd2 = None
+        for ll in range(mm, lmax + 1):
+            if ll == mm:
+                h = h0[mm] * m
+                hd = jnp.zeros_like(m)
+            elif ll == mm + 1:
+                h = d1[mm] * uz * h1
+                hd = d1[mm] * h1
+            else:
+                h = e1[(ll, mm)] * uz * h1 - e2[(ll, mm)] * h2
+                hd = e1[(ll, mm)] * (h1 + uz * hd1) - e2[(ll, mm)] * hd2
+            bc = b_ref[:, col:col + 1]
+            col += 1
+            if mm > 0:
+                bs = b_ref[:, col:col + 1]
+                col += 1
+                wc = bc * cm + bs * sm
+                wx = bc * cm1 + bs * sm1
+                wy = bs * cm1 - bc * sm1
+                gx = gx + (mm * h) * wx
+                gy = gy + (mm * h) * wy
+            else:
+                wc = bc * cm
+            sy = sy + h * wc
+            gz = gz + hd * wc
+            h2, h1 = h1, h
+            hd2, hd1 = hd1, hd
+    q2 = b_ref[:, col:col + 1]
+    udotg = ux * gx + uy * gy + uz * gz
+    pref = dfc * (sy + q2 * fc) + fc * inv_r * (-udotg)
+    fcr = fc * inv_r
+    fjx_ref[:] = (coeff + pref) * ux + fcr * gx
+    fjy_ref[:] = (coeff + pref) * uy + fcr * gy
+    fjz_ref[:] = (coeff + pref) * uz + fcr * gz
+
 
 def _tile_spec(t, k):
     return pl.BlockSpec((t, k), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -256,6 +476,49 @@ def _run_force(dxx, dxy, dxz, dedg, cfg_key):
     )(dxx, dxy, dxz, dedg)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg_key",))
+def _run_g_harm(dxx, dxy, dxz, cfg_key):
+    cfg = dict(cfg_key)
+    n, k = dxx.shape
+    kernel = functools.partial(_g_kernel_harm, cfg=cfg)
+    lsq = cfg["ntsf"] ** 2
+    flops_atom = k * (lsq * 8 + cfg["npsf"] * 6 + 40)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // TILE,),
+        in_specs=[_tile_spec(TILE, k)] * 3,
+        out_specs=[_tile_spec(TILE, NSF_PAD), _tile_spec(TILE, AB_PAD)],
+        out_shape=[jax.ShapeDtypeStruct((n, NSF_PAD), dxx.dtype),
+                   jax.ShapeDtypeStruct((n, AB_PAD), dxx.dtype)],
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=n * flops_atom, bytes_accessed=n * (k * 12 + AB_PAD * 4),
+            transcendentals=n * k * 2),
+    )(dxx, dxy, dxz)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg_key",))
+def _run_force_harm(dxx, dxy, dxz, dedg_rad, b, cfg_key):
+    cfg = dict(cfg_key)
+    n, k = dxx.shape
+    kernel = functools.partial(_force_kernel_harm, cfg=cfg)
+    lsq = cfg["ntsf"] ** 2
+    flops_atom = k * (lsq * 14 + cfg["npsf"] * 10 + 60)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // TILE,),
+        in_specs=[_tile_spec(TILE, k)] * 3 + [
+            _tile_spec(TILE, NSF_PAD), _tile_spec(TILE, AB_PAD)],
+        out_specs=[_tile_spec(TILE, k)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((n, k), dxx.dtype)] * 3,
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=n * flops_atom,
+            bytes_accessed=n * (k * 24 + (NSF_PAD + AB_PAD) * 4),
+            transcendentals=n * k * 2),
+    )(dxx, dxy, dxz, dedg_rad, b)
+
+
 class PallasAnnp:
     """Fused-kernel evaluator for a single-element Chebyshev ANNP model.
 
@@ -266,9 +529,17 @@ class PallasAnnp:
     O(K^2) angular kernels run at K=128 (one lane tile) instead of 256 --
     a 4x FLOP cut on the dominant work. None disables the repack."""
 
-    def __init__(self, cfg, params, k_short=128):
+    def __init__(self, cfg, params, k_short=128, angular="harmonic"):
         self.k_short = k_short
+        self.angular = angular
         self.npsf, self.ntsf = cfg.npsf, cfg.ntsf
+        if angular == "harmonic":
+            dt_ = params["sf_scale"].dtype
+            self.cmat = jnp.asarray(_cheb_legendre(cfg.ntsf), dt_)  # [n, l]
+            layout = _harm_layout(cfg.ntsf - 1)
+            self.n_harm = len(layout)
+            self.l_of_col = jnp.asarray(layout, jnp.int32)
+            assert self.n_harm <= AB_PAD - 1
         self.pbc = tuple(getattr(cfg, "pbc", (True, True, True)))
         nsf = cfg.nsf
         self.cfg_key = (
@@ -354,6 +625,43 @@ class PallasAnnp:
         dedg = jnp.pad(dedg, ((0, 0), (0, NSF_PAD - nsf)))
         return eat, dedg
 
+    def _mlp_eat_dedg_harm(self, g_raw, a_pad):
+        """Harmonic-path glue: S_l power sums -> angular G, MLP forward +
+        VJP, then the per-atom force coefficients (radial dE/dG columns and
+        the B_lm vector with 2q in its trailing column)."""
+        cfg = dict(self.cfg_key)
+        npsf, ntsf = cfg["npsf"], cfg["ntsf"]
+        hi = jax.lax.Precision.HIGHEST
+        s_l = g_raw[:, npsf:npsf + ntsf]
+        f2 = g_raw[:, npsf + ntsf:npsf + ntsf + 1]
+        g_ang = 0.5 * (jnp.dot(s_l, self.cmat.T, precision=hi) - f2)
+        g_all = jnp.concatenate([g_raw[:, :npsf], g_ang], axis=1)
+        eat, dedg = self._mlp_eat_dedg(
+            jnp.pad(g_all, ((0, 0), (0, NSF_PAD - g_all.shape[1]))))
+        dedg_ang = dedg[:, npsf:npsf + ntsf]
+        # B_lm = (sum_n dE/dG_n c_nl) A_lm  (the 0.5 tally x d(S^2)=2A fold)
+        bco = jnp.dot(dedg_ang, self.cmat, precision=hi)       # [N, l]
+        b = a_pad[:, :self.n_harm] * bco[:, self.l_of_col]
+        q2 = -jnp.sum(dedg_ang, axis=1, keepdims=True)         # 2q
+        b = jnp.concatenate(
+            [b, q2, jnp.zeros((b.shape[0], AB_PAD - self.n_harm - 1),
+                              b.dtype)], axis=1)
+        dedg_rad = jnp.pad(dedg[:, :npsf], ((0, 0), (0, NSF_PAD - npsf)))
+        return eat, dedg_rad, b
+
+    def _eval_fj(self, dxx, dxy, dxz):
+        """Run the fused pipeline on (compacted) displacement rows; returns
+        (eat, (fjx, fjy, fjz))."""
+        if self.angular == "harmonic":
+            g_raw, a_pad = _run_g_harm(dxx, dxy, dxz, self.cfg_key)
+            eat, dedg_rad, b = self._mlp_eat_dedg_harm(g_raw, a_pad)
+            fj = _run_force_harm(dxx, dxy, dxz, dedg_rad, b, self.cfg_key)
+        else:
+            g_pad = _run_g(dxx, dxy, dxz, self.cfg_key)
+            eat, dedg = self._mlp_eat_dedg(g_pad)
+            fj = _run_force(dxx, dxy, dxz, dedg, self.cfg_key)
+        return eat, fj
+
     def _pair_dx_frame(self, xc, x_src, box, idx):
         """Displacements for center rows xc [Cc,3] whose neighbors index into
         x_src [C_ext,3] (the multi-chip halo frame). Rows padded to TILE."""
@@ -388,9 +696,7 @@ class PallasAnnp:
         """
         cc, k = idx.shape
         dxx, dxy, dxz = self._pair_dx_frame(xc, x_src, box, idx)
-        g_pad = _run_g(dxx, dxy, dxz, self.cfg_key)
-        eat, dedg = self._mlp_eat_dedg(g_pad)
-        fjx, fjy, fjz = _run_force(dxx, dxy, dxz, dedg, self.cfg_key)
+        eat, (fjx, fjy, fjz) = self._eval_fj(dxx, dxy, dxz)
         # partner row in the center frame = position-frame index - bc
         n_src = x_src.shape[0]
         t_center = idx - bc
@@ -515,9 +821,7 @@ class PallasAnnp:
                              row * (2 * k) + k + lane)
             ks = k
         p = dxx.shape[0]
-        g_pad = _run_g(dxx, dxy, dxz, self.cfg_key)
-        eat, dedg = self._mlp_eat_dedg(g_pad)
-        fjx, fjy, fjz = _run_force(dxx, dxy, dxz, dedg, self.cfg_key)
+        eat, (fjx, fjy, fjz) = self._eval_fj(dxx, dxy, dxz)
         forces = self._assemble(fjx, fjy, fjz, akey, ok, n, ks)
         # shift-free summation: |e_shift| ~ 4.5e3 eV/atom would swamp f32
         e_shift = dict(self.cfg_key)["e_shift"]
