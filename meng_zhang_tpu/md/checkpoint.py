@@ -16,7 +16,7 @@ from .simulation import MDState
 from ..md import integrate as I
 
 _FIELDS = ("x", "v", "box", "pe", "virial", "v_eps", "key", "step",
-           "overflow", "stale")
+           "overflow", "stale", "unsafe")
 
 
 def save_checkpoint(path: str, state: MDState) -> None:
@@ -45,4 +45,5 @@ def load_checkpoint(path: str, simulator) -> MDState:
         key=jnp.asarray(z["key"]),
         step=jnp.asarray(int(z["step"]), jnp.int32),
         overflow=jnp.asarray(bool(z["overflow"])),
-        stale=jnp.asarray(False))
+        stale=jnp.asarray(False),
+        unsafe=jnp.asarray(bool(z["unsafe"]) if "unsafe" in z else False))

@@ -43,6 +43,9 @@ class MDState(NamedTuple):
     step: jax.Array
     overflow: jax.Array   # sticky neighbor-capacity overflow flag
     stale: jax.Array      # neighbor list needs a rebuild (host acts on it)
+    unsafe: jax.Array     # sticky: some atom moved > skin/2 before a rebuild
+                          # landed (pairs may have been missed -- the failure
+                          # LAMMPS calls a "dangerous build")
 
 
 class Thermo(NamedTuple):
@@ -152,17 +155,22 @@ class Simulator:
         # flattened inside while-loops by XLA and would run every step.
         # Instead flag staleness conservatively (0.4*skin instead of the
         # exact 0.5*skin bound, leaving drift margin for the steps until the
-        # host rebuilds at the next block boundary, see run()).
+        # host rebuilds at the next block boundary, see run()). If drift
+        # nevertheless crosses the true 0.5*skin safety bound while the list
+        # is still in use, latch `unsafe` -- the sticky equivalent of a
+        # LAMMPS "dangerous build" (pairs may have been silently missed).
         nbrs = s.nbrs
         stale = s.stale | needs_rebuild(nbrs, x, box, 0.8 * self.cfg.skin,
                                         self.cfg.pbc)
+        unsafe = s.unsafe | needs_rebuild(nbrs, x, box, self.cfg.skin,
+                                          self.cfg.pbc)
         pe, f, w = self._eval_force(x, box, nbrs)
         v = I.vv_kick(v, f, m, 0.5 * dt)
 
         s = MDState(x=x, v=v, f=f, box=box, pe=pe, virial=w, nbrs=nbrs,
                     nhc=s.nhc, v_eps=s.v_eps, baro_nhc=s.baro_nhc, key=key,
                     step=s.step + 1, overflow=s.overflow | nbrs.overflow,
-                    stale=stale)
+                    stale=stale, unsafe=unsafe)
         if c.ensemble == "npt":
             s = self._npt_baro_half(s)
             s = self._npt_baro_thermo(s, dt)
@@ -250,7 +258,8 @@ class Simulator:
             nhc=I.NHCState.zeros(self.cfg.nhc_len, dtype),
             v_eps=jnp.zeros(3, dtype), baro_nhc=I.NHCState.zeros(2, dtype),
             key=key, step=jnp.asarray(0, jnp.int32),
-            overflow=nbrs.overflow, stale=jnp.asarray(False))
+            overflow=nbrs.overflow, stale=jnp.asarray(False),
+            unsafe=jnp.asarray(False))
 
     # ---------- thermo ----------
     def thermo(self, s: MDState) -> Thermo:

@@ -78,13 +78,16 @@ def _gather_dx(x, box, nbr_idx, pbc=(True, True, True)):
 
 
 def local_params(cfg: AnnaConfig, params, x, box, nbr_idx, elems=None,
-                 chunk=512):
+                 chunk=512, x_src=None):
     """Phase 1: per-atom (d2, q2) from raw Chebyshev descriptors, [N, 2].
 
     Atoms are processed in lax.map chunks so the O(chunk*K^2) angular
     intermediates stay bounded (the FCA-chunking analogue,
-    SURVEY.md section 7)."""
+    SURVEY.md section 7). x_src (default x) is the gather source for
+    neighbor positions -- the sharded frame path passes the halo frame."""
     n = x.shape[0]
+    src = x if x_src is None else x_src
+    n_src = src.shape[0]
     if elems is None:
         elems = jnp.zeros(n, dtype=jnp.int32)
 
@@ -96,14 +99,14 @@ def local_params(cfg: AnnaConfig, params, x, box, nbr_idx, elems=None,
         b = tuple(bl[ei] for bl in params["b"])
         return mlp_apply(w, b, cfg.flagact, cfg.act_style, g)
 
+    x_pad = jnp.concatenate([src, jnp.zeros((1, 3), src.dtype)], axis=0)
     if n <= chunk:
-        dx, mask = _gather_dx(x, box, nbr_idx, cfg.pbc)
-        return jax.vmap(one)(dx, mask, elems)
+        dx = min_image(x[:, None, :] - x_pad[nbr_idx], box, cfg.pbc)
+        return jax.vmap(one)(dx, nbr_idx < n_src, elems)
 
     n_pad = -(-n // chunk) * chunk
-    x_pad = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)], axis=0)
     idx_p = jnp.concatenate(
-        [nbr_idx, jnp.full((n_pad - n, nbr_idx.shape[1]), n, jnp.int32)]) \
+        [nbr_idx, jnp.full((n_pad - n, nbr_idx.shape[1]), n_src, jnp.int32)]) \
         if n_pad != n else nbr_idx
     xi_p = jnp.concatenate([x, jnp.zeros((n_pad - n, 3), x.dtype)]) \
         if n_pad != n else x
@@ -113,7 +116,7 @@ def local_params(cfg: AnnaConfig, params, x, box, nbr_idx, elems=None,
     def chunk_fn(args):
         xi, idx, el = args
         dx = min_image(xi[:, None, :] - x_pad[idx], box, cfg.pbc)
-        mask = idx < n
+        mask = idx < n_src
         return jax.vmap(one)(dx, mask, el)
 
     out = jax.lax.map(chunk_fn,
@@ -124,11 +127,13 @@ def local_params(cfg: AnnaConfig, params, x, box, nbr_idx, elems=None,
 
 
 def atom_energies_fields(cfg: AnnaConfig, params, x, box, nbr_idx, lparams,
-                         eps=None, chunk=512):
-    """Chunked wrapper around `_atom_energies_fields_block`."""
+                         eps=None, chunk=512, x_src=None):
+    """Chunked wrapper around `_atom_energies_fields_block`. x_src (default
+    x) is the neighbor-position gather source (sharded frames pass it)."""
     n = x.shape[0]
+    src = x if x_src is None else x_src
     if n <= chunk:
-        return _atom_energies_fields_block(cfg, params, x, x, box, nbr_idx,
+        return _atom_energies_fields_block(cfg, params, x, src, box, nbr_idx,
                                            lparams, eps)
     n_pad = -(-n // chunk) * chunk
 
@@ -138,12 +143,12 @@ def atom_energies_fields(cfg: AnnaConfig, params, x, box, nbr_idx, lparams,
             if n_pad != n else a
 
     xi = pad(x).reshape(-1, chunk, 3)
-    idx = pad(nbr_idx, n).reshape(-1, chunk, nbr_idx.shape[1])
+    idx = pad(nbr_idx, src.shape[0]).reshape(-1, chunk, nbr_idx.shape[1])
     lp = pad(lparams).reshape(-1, chunk, lparams.shape[1])
 
     def chunk_fn(args):
         xc, ic, lc = args
-        return _atom_energies_fields_block(cfg, params, xc, x, box, ic, lc,
+        return _atom_energies_fields_block(cfg, params, xc, src, box, ic, lc,
                                            eps)
 
     e, rho, mu, lam = jax.lax.map(chunk_fn, (xi, idx, lp))
@@ -303,12 +308,14 @@ def energy_forces(cfg: AnnaConfig, params, x, box, nbr_idx, elems=None):
     return e, f
 
 
-def energy_forces_virial(cfg: AnnaConfig, params, x, box, nbr_idx, elems=None):
-    return _ef_impl(cfg, params, x, box, nbr_idx, elems, want_virial=True)
+def energy_forces_virial(cfg: AnnaConfig, params, x, box, nbr_idx, elems=None,
+                         shift=True):
+    return _ef_impl(cfg, params, x, box, nbr_idx, elems, want_virial=True,
+                    shift=shift)
 
 
 def _ef_impl(cfg: AnnaConfig, params, x, box, nbr_idx, elems, want_virial,
-             chunk=512):
+             chunk=512, shift=True):
     n = x.shape[0]
     gp = params["gp"]
     rc = cfg.cut
@@ -358,6 +365,92 @@ def _ef_impl(cfg: AnnaConfig, params, x, box, nbr_idx, elems, want_virial,
         w = 0.5 * (w + w.T)
     else:
         w = None
-    return jnp.sum(e_at), f, w
+    # shift-free sum: e_base = -4473 eV/atom; see PallasAnnp.energy_forces
+    e = jnp.sum(e_at - cfg.e_base)
+    if shift:
+        e = e + n * cfg.e_base
+    return e, f, w
 
 
+
+
+def energy_forces_frame(cfg: AnnaConfig, params, xc, x_src, box, idx, off,
+                        vslice, want_virial=False, chunk=512):
+    """Two-phase sharded-frame evaluation -- the halo-recompute form of the
+    reference's GPU path (energy kernel -> 12-field MPI forward_comm ->
+    force kernel, src/pair_anna_adp_gpu.cpp:92-159).
+
+    xc [Cc, 3]: center-row positions (local atoms + a bc-row extension on
+    each side); x_src [C_ext, 3]: the position frame (centers sit at offset
+    `off`); idx [Cc, K]: neighbor rows indexing the frame (sentinel C_ext);
+    vslice=(lo, hi): the device-local center rows.
+
+    Phase 1 computes (d2, q2) and the ADP fields (rho, mu, lambda) for ALL
+    center rows from frame positions -- every field the reference would MPI
+    round-trip is recomputed locally instead. Phase 2 evaluates the
+    newton-off pair force (both i- and j-centered terms gathered, exactly
+    k_anna_adp's formulation, lal_anna_adp.cu:642-804) for the local rows,
+    fetching partner fields through the frame->center-row map t = idx - off.
+    Returns (eat [Cc], forces [Cc, 3] with rows outside vslice zero,
+    virial [3,3] or None).
+    """
+    cc = xc.shape[0]
+    n_src = x_src.shape[0]
+    gp = params["gp"]
+    rc = cfg.cut
+    lo, hi = vslice
+
+    lp = local_params(cfg, params, xc, box, idx, chunk=chunk, x_src=x_src)
+    e_at, rho, mu, lam = atom_energies_fields(cfg, params, xc, box, idx, lp,
+                                              chunk=chunk, x_src=x_src)
+
+    x_pad = jnp.concatenate([x_src, jnp.zeros((1, 3), x_src.dtype)], axis=0)
+
+    def force_block(xb, idxb, lpb, rhob, mub, lamb):
+        dx = min_image(xb[:, None, :] - x_pad[idxb], box, cfg.pbc)  # [C,K,3]
+        rsq = jnp.sum(dx * dx, axis=-1)
+        t = idxb - off                       # partner's center row
+        tm = (t >= 0) & (t < cc)
+        m = (idxb < n_src) & (rsq < rc * rc) & tm
+        r = jnp.sqrt(jnp.where(m, rsq, 1.0))
+        t_c = jnp.clip(t, 0, cc - 1)
+        g_self = _center_pair_force(gp, rhob[:, None], mub[:, None, :],
+                                    lamb[:, None], lpb[:, 0:1], lpb[:, 1:2],
+                                    dx, r, rc)
+        g_nbr = _center_pair_force(gp, rho[t_c], mu[t_c], lam[t_c],
+                                   lp[t_c, 0], lp[t_c, 1], -dx, r, rc)
+        f_pair = jnp.where(m[..., None], g_nbr - g_self, 0.0)
+        f = jnp.sum(f_pair, axis=1)
+        wv = 0.5 * jnp.einsum("nka,nkb->ab",
+                              dx * m[..., None].astype(dx.dtype), f_pair,
+                              precision=jax.lax.Precision.HIGHEST)
+        return f, wv
+
+    n_loc = hi - lo
+    if n_loc <= chunk:
+        f_loc, w = force_block(xc[lo:hi], idx[lo:hi], lp[lo:hi], rho[lo:hi],
+                               mu[lo:hi], lam[lo:hi])
+    else:
+        n_pad = -(-n_loc // chunk) * chunk
+
+        def pad(a, fill=0):
+            return jnp.concatenate(
+                [a, jnp.full((n_pad - n_loc,) + a.shape[1:], fill, a.dtype)]) \
+                if n_pad != n_loc else a
+
+        args = (pad(xc[lo:hi]).reshape(-1, chunk, 3),
+                pad(idx[lo:hi], n_src).reshape(-1, chunk, idx.shape[1]),
+                pad(lp[lo:hi]).reshape(-1, chunk, lp.shape[1]),
+                pad(rho[lo:hi]).reshape(-1, chunk),
+                pad(mu[lo:hi]).reshape(-1, chunk, 3),
+                pad(lam[lo:hi]).reshape(-1, chunk, 3, 3))
+        f_c, w_c = jax.lax.map(lambda a: force_block(*a), args)
+        f_loc = f_c.reshape(n_pad, 3)[:n_loc]
+        w = jnp.sum(w_c, axis=0)
+
+    forces = jnp.zeros((cc, 3), xc.dtype).at[lo:hi].set(f_loc)
+    if want_virial:
+        w = 0.5 * (w + w.T)
+    else:
+        w = None
+    return e_at, forces, w

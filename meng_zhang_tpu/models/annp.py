@@ -159,8 +159,17 @@ def _pad_rows(a, rows, fill):
     return jnp.concatenate([a, jnp.full((rows,) + a.shape[1:], fill, a.dtype)])
 
 
+def _strain_dx(dx, eps):
+    """Apply a linear strain to 3 x [C, K] displacement components:
+    dx'_a = dx_a + sum_b dx_b * eps[b, a]  (row-vector dx @ (I + eps)).
+    Differentiating the energy w.r.t. eps at 0 yields the virial."""
+    if eps is None:
+        return dx
+    return [dx[a] + sum(dx[b] * eps[b, a] for b in range(3)) for a in range(3)]
+
+
 def _chunk_energy_cheb(cfg: AnnpConfig, params, xc, xpad, idx, box,
-                       valid=None):
+                       valid=None, eps=None):
     """Chebyshev chunk energy in TPU-friendly [C, K] component layout.
 
     xc: 3 x [C] chunk coordinates; xpad: 3 x [N+1] padded coordinates;
@@ -172,13 +181,16 @@ def _chunk_energy_cheb(cfg: AnnpConfig, params, xc, xpad, idx, box,
     rc = cfg.cut
     mask = idx < n
     dx = []
-    rsq = jnp.zeros(idx.shape, xc[0].dtype)
+    rsq0 = jnp.zeros(idx.shape, xc[0].dtype)
     for d in range(3):
         dd = xc[d][:, None] - xpad[d][idx]
         if cfg.pbc[d]:
             dd = dd - box[d] * jnp.round(dd / box[d])
         dx.append(dd)
-        rsq = rsq + dd * dd
+        rsq0 = rsq0 + dd * dd
+    dx = _strain_dx(dx, eps)
+    rsq = dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2] if eps is not None \
+        else rsq0
     mask = mask & (rsq < rc * rc) & (rsq > 1.0e-12)
     r = jnp.sqrt(jnp.where(mask, rsq, 1.0))
     fc = jnp.where(mask, 0.5 * (jnp.cos(jnp.pi / rc * r) + 1.0), 0.0)
@@ -226,7 +238,7 @@ def _chunk_energy_cheb(cfg: AnnpConfig, params, xc, xpad, idx, box,
 
 
 def _chunk_energy_behler(cfg: AnnpConfig, params, xc, xpad, idx, box,
-                         valid=None):
+                         valid=None, eps=None):
     """Behler-Parrinello chunk energy in [C, K] component layout (ni).
 
     Same layout rules as `_chunk_energy_cheb`; the G4 three-leg geometry
@@ -248,7 +260,8 @@ def _chunk_energy_behler(cfg: AnnpConfig, params, xc, xpad, idx, box,
         if cfg.pbc[d]:
             dd = dd - box[d] * jnp.round(dd / box[d])
         dx.append(dd)
-        rsq = rsq + dd * dd
+    dx = _strain_dx(dx, eps)
+    rsq = dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2]
     mask = mask & (rsq > 1.0e-12)
     r = jnp.sqrt(jnp.where(mask, rsq, 1.0))
     rm = jnp.where(mask, r * CFLENGTH, 2.0 * rc_a + 10.0)   # Bohr
@@ -307,7 +320,7 @@ def _chunk_energy_behler(cfg: AnnpConfig, params, xc, xpad, idx, box,
 
 
 def energy_chunked(cfg: AnnpConfig, params, x, box, nbr_idx, elems=None,
-                   chunk=256):
+                   chunk=256, eps=None, shift=True):
     """Total energy with atoms processed in rematerialized chunks.
 
     The TPU analogue of the reference's FCA chunked launch loop
@@ -320,7 +333,12 @@ def energy_chunked(cfg: AnnpConfig, params, x, box, nbr_idx, elems=None,
     n = x.shape[0]
     multi_elem = elems is not None and bool(params["w"][0].shape[0] > 1)
     if multi_elem:
-        return energy(cfg, params, x, box, nbr_idx, elems)
+        if eps is not None:
+            raise NotImplementedError(
+                "strained chunked energy: multi-element scenes use "
+                "energy_forces_virial (vmap path)")
+        e = energy(cfg, params, x, box, nbr_idx, elems)
+        return e if shift else e - n * cfg.e_shift
     n_pad = -(-n // chunk) * chunk
     idx_p = _pad_rows(nbr_idx, n_pad - n, n)           # padded rows: all-sentinel
     xpad = tuple(jnp.concatenate([x[:, d], jnp.zeros((1,), x.dtype)])
@@ -342,20 +360,40 @@ def energy_chunked(cfg: AnnpConfig, params, x, box, nbr_idx, elems=None,
     @jax.checkpoint
     def chunk_e(carry, args):
         xc0, xc1, xc2, idx, valid = args
-        e = chunk_fn(cfg0, params, (xc0, xc1, xc2), xpad, idx, box, valid)
+        e = chunk_fn(cfg0, params, (xc0, xc1, xc2), xpad, idx, box, valid,
+                     eps)
         return carry + e, None
 
     total, _ = jax.lax.scan(chunk_e, jnp.zeros((), x.dtype),
                             (xc[0], xc[1], xc[2], idx_c, valid_c))
-    return total + n * cfg.e_shift
+    return total + n * cfg.e_shift if shift else total
 
 
 def energy_forces_chunked(cfg: AnnpConfig, params, x, box, nbr_idx,
-                          elems=None, chunk=256):
+                          elems=None, chunk=256, shift=True):
     """Memory-bounded energy+forces for production-size scenes."""
     e, g = jax.value_and_grad(energy_chunked, argnums=2)(
-        cfg, params, x, box, nbr_idx, elems, chunk)
+        cfg, params, x, box, nbr_idx, elems, chunk, None, shift)
     return e, -g
+
+
+def energy_forces_virial_chunked(cfg: AnnpConfig, params, x, box, nbr_idx,
+                                 elems=None, chunk=256, shift=True):
+    """Memory-bounded energy + forces + virial (fe and ni paths).
+
+    The virial is the strain derivative W = -dE/d(eps) evaluated through the
+    chunked energy (the same eps trick as `energy_forces_virial`, but without
+    that path's O(N*K^2) un-chunked memory) -- this is what lets ni NPT run
+    at production sizes, matching the reference's per-pair ev_tally_xyz
+    accumulation (ni/src/pair_annp.cpp compute tally)."""
+    def strained(eps, xx):
+        return energy_chunked(cfg, params, xx, box, nbr_idx, elems, chunk,
+                              eps, shift)
+
+    eps0 = jnp.zeros((3, 3), dtype=x.dtype)
+    e, (g_eps, g_x) = jax.value_and_grad(strained, argnums=(0, 1))(eps0, x)
+    w = -0.5 * (g_eps + g_eps.T)
+    return e, -g_x, w
 
 
 def energy_forces_virial(cfg: AnnpConfig, params, x, box, nbr_idx, elems=None):

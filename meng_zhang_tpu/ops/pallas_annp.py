@@ -685,7 +685,8 @@ class PallasAnnp:
             out.append(dd)
         return out
 
-    def energy_forces_frame(self, xc, x_src, box, idx, rev, bc):
+    def energy_forces_frame(self, xc, x_src, box, idx, rev, bc,
+                            want_virial=False, vslice=None):
         """Sharded-frame evaluation: per-center-row energies and forces.
 
         xc [Cc, 3]: center-row positions; x_src [C_ext, 3]: position frame
@@ -693,6 +694,11 @@ class PallasAnnp:
         position frame; rev [Cc, K] holds partner slots. Returns
         (eat [Cc], forces [Cc, 3]); only rows whose full neighbor-center
         context lies in the frame (the local slice) are physical.
+
+        want_virial: also return the pairwise virial tally (same +-1/2-per-
+        pair convention as `energy_forces`) summed over center rows
+        [vslice[0], vslice[1]) -- callers pass the device-local row range so
+        a psum over devices counts every pair exactly once.
         """
         cc, k = idx.shape
         dxx, dxy, dxz = self._pair_dx_frame(xc, x_src, box, idx)
@@ -712,7 +718,19 @@ class PallasAnnp:
         for fj, part in zip((fjx, fjy, fjz), (px, py, pz)):
             own = -jnp.sum(fj[:cc], axis=1)
             f.append(own + jnp.sum(part.reshape(cc, k), axis=1))
-        return eat[:cc], jnp.stack(f, axis=1)
+        if not want_virial:
+            return eat[:cc], jnp.stack(f, axis=1)
+        lo, hi = (0, cc) if vslice is None else vslice
+        m = ok[lo:hi].astype(xc.dtype)
+        comps = []
+        for da in (dxx, dxy, dxz):
+            row = []
+            for fb in (fjx, fjy, fjz):
+                row.append(-jnp.sum(da[lo:hi] * fb[lo:hi] * m))
+            comps.append(row)
+        w = jnp.asarray(comps)
+        w = 0.5 * (w + w.T)
+        return eat[:cc], jnp.stack(f, axis=1), w
 
     def _short_repack(self, dxx, dxy, dxz, nbr_idx, rev_slots, n):
         """Compact every neighbor row to its in-cutoff entries (stable),
@@ -787,7 +805,8 @@ class PallasAnnp:
         eat, dedg = self._mlp_eat_dedg(g_pad)
         return eat[:n], dedg[:n]
 
-    def energy_forces(self, x, box, nbr_idx, rev_slots, want_virial=False):
+    def energy_forces(self, x, box, nbr_idx, rev_slots, want_virial=False,
+                      shift=True):
         """Full fused evaluation. rev_slots from neighbors.reverse_slots.
 
         When k_short is set and smaller than the list width, rows are first
@@ -823,9 +842,14 @@ class PallasAnnp:
         p = dxx.shape[0]
         eat, (fjx, fjy, fjz) = self._eval_fj(dxx, dxy, dxz)
         forces = self._assemble(fjx, fjy, fjz, akey, ok, n, ks)
-        # shift-free summation: |e_shift| ~ 4.5e3 eV/atom would swamp f32
+        # shift-free summation: |e_shift| ~ 4.5e3 eV/atom would swamp f32.
+        # shift=False returns the shift-free sum itself (resolution ~1e-2 eV
+        # at 152k atoms vs the ~64 eV f32 ULP of the shifted total); callers
+        # add n*e_shift back in f64 at readout (run.py thermo).
         e_shift = dict(self.cfg_key)["e_shift"]
-        e = jnp.sum(eat[:n] - e_shift) + n * e_shift
+        e = jnp.sum(eat[:n] - e_shift)
+        if shift:
+            e = e + n * e_shift
         if overflow is not None:
             # poison the outputs on short-list overflow so it cannot pass
             # silently (the neighbor-list overflow flag does not see this)

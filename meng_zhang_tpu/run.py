@@ -168,25 +168,35 @@ def main(argv=None):
     x = jnp.asarray(x_np, jnp.float32)
     box = jnp.asarray(box_np, jnp.float32)
 
+    # All paths return SHIFT-FREE per-run PE (sum of e_at - e_shift): the
+    # per-atom shift is O(-4.5e3 eV), so the shifted total of a 152k-atom
+    # scene sits where f32 ULP is ~64 eV and the thermo PE column would
+    # quantize. The constant n*e_shift is added back in f64 at print time.
+    n_atoms = len(x_np)
+    if model_name == "anna_adp":
+        pe_offset = n_atoms * mcfg.e_base
+    else:
+        pe_offset = n_atoms * mcfg.e_shift
     if use_pallas:
         from .ops.pallas_annp import PallasAnnp
         pk = PallasAnnp(mcfg, params)
 
         def force_fn(xx, bb, nbrs):
             return pk.energy_forces(xx, bb, nbrs.idx, nbrs.rev,
-                                    want_virial=True)
+                                    want_virial=True, shift=False)
     elif model_name == "anna_adp":
         def force_fn(xx, bb, nbrs):
             return anna_adp.energy_forces_virial(mcfg, params, xx, bb,
-                                                 nbrs.idx, elems)
-    elif model_name == "annp-behler" and args.ensemble != "npt":
-        # ni at scale: [C,K]-layout chunked path (no virial -> no pressure
-        # column; use --ensemble npt to force the vmap+virial path)
+                                                 nbrs.idx, elems, shift=False)
+    elif ne == 1:
+        # fe/ni XLA path at scale: [C,K]-layout chunked energy with the
+        # strain-derivative virial (bounded memory at any N)
         def force_fn(xx, bb, nbrs):
-            e, f = annp.energy_forces_chunked(mcfg, params, xx, bb, nbrs.idx,
-                                              elems, chunk=512)
-            return e, f, jnp.zeros((3, 3), xx.dtype)
+            return annp.energy_forces_virial_chunked(
+                mcfg, params, xx, bb, nbrs.idx, elems, chunk=512, shift=False)
     else:
+        pe_offset = 0.0
+
         def force_fn(xx, bb, nbrs):
             return annp.energy_forces_virial(mcfg, params, xx, bb, nbrs.idx,
                                              elems)
@@ -247,12 +257,12 @@ def main(argv=None):
     print(f"{'Step':>8} {'Temp':>10} {'PotEng':>16} {'KinEng':>12} "
           f"{'Press':>12} {'Volume':>14}")
     th0 = sim.thermo(st)
-    _print_thermo(int(st.step), th0)
+    _print_thermo(int(st.step), th0, pe_offset)
     t0 = time.time()
     for b in range(n_blocks):
         with profiling.phase("md_block"):
             st, th = sim.run(st, 1)
-        _print_thermo(int(st.step), _last(th))
+        _print_thermo(int(st.step), _last(th), pe_offset)
         if dump:
             with profiling.phase("dump"):
                 dump.write(int(st.step), np.asarray(st.x),
@@ -265,6 +275,10 @@ def main(argv=None):
     if bool(st.overflow):
         log("WARNING: neighbor capacity overflow occurred (results unsafe); "
             "raise --capacity")
+    if bool(st.unsafe):
+        log("WARNING: dangerous neighbor builds -- an atom moved > skin/2 "
+            "before a rebuild landed (pairs may have been missed); raise "
+            "--skin or lower --thermo")
 
     if dump:
         dump.close()
@@ -281,8 +295,11 @@ def _last(th):
     return jax.tree_util.tree_map(lambda a: a[-1], th)
 
 
-def _print_thermo(step, th):
-    print(f"{step:>8d} {float(th.temp):>10.3f} {float(th.pe):>16.4f} "
+def _print_thermo(step, th, pe_offset=0.0):
+    # pe arrives shift-free (f32, ~0.01 eV resolution); the constant
+    # n*e_shift offset is re-applied here in python f64
+    print(f"{step:>8d} {float(th.temp):>10.3f} "
+          f"{float(th.pe) + pe_offset:>16.4f} "
           f"{float(th.ke):>12.4f} {float(th.press):>12.2f} "
           f"{float(th.vol):>14.3f}", flush=True)
 

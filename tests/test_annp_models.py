@@ -130,6 +130,43 @@ def test_energy_chunked_matches_vmap(fe_pot, fe_setup):
     np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_ref), atol=1e-10)
 
 
+def test_chunked_virial_matches_vmap(fe_pot, fe_setup):
+    """The strain-derivative virial of the chunked path (the one NPT uses at
+    production sizes) must match the vmap path's virial exactly."""
+    from meng_zhang_tpu.models.annp import energy_forces_virial_chunked
+    cfg, params, x, box, nbrs = fe_setup
+    e_ref, f_ref, w_ref = energy_forces_virial(cfg, params, x, box, nbrs.idx)
+    e_c, f_c, w_c = energy_forces_virial_chunked(cfg, params, x, box,
+                                                 nbrs.idx, chunk=16)
+    np.testing.assert_allclose(float(e_c), float(e_ref), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_ref), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(w_c), np.asarray(w_ref),
+                               rtol=1e-9, atol=1e-10)
+    # shift-free output + offset reconstructs the same total
+    e_s, _, _ = energy_forces_virial_chunked(cfg, params, x, box, nbrs.idx,
+                                             chunk=16, shift=False)
+    np.testing.assert_allclose(float(e_s) + x.shape[0] * cfg.e_shift,
+                               float(e_ref), rtol=1e-12)
+
+
+def test_ni_chunked_virial_matches_vmap(ni_pot):
+    """ni NPT at scale rides the chunked strain virial (VERDICT round-1 item:
+    the vmap+virial path OOMs beyond ~1k atoms, run.py used to return a zero
+    virial for chunked ni)."""
+    from meng_zhang_tpu.models.annp import energy_forces_virial_chunked
+    cfg, params = make_annp(ni_pot, dtype=jnp.float64)
+    x, box = perturbed_fcc(n_cells=2, seed=5)
+    xj, bj = jnp.asarray(x), jnp.asarray(box)
+    nbrs = build_neighbors_n2(xj, bj, cfg.cut, 96)
+    e_ref, f_ref, w_ref = energy_forces_virial(cfg, params, xj, bj, nbrs.idx)
+    e_c, f_c, w_c = energy_forces_virial_chunked(cfg, params, xj, bj,
+                                                 nbrs.idx, chunk=16)
+    np.testing.assert_allclose(float(e_c), float(e_ref), rtol=1e-11)
+    np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_ref), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(w_c), np.asarray(w_ref),
+                               rtol=1e-8, atol=1e-9)
+
+
 def test_ni_energy_chunked_matches_vmap(ni_pot):
     """The [C,K]-layout Behler path must match the vmap oracle path."""
     from meng_zhang_tpu.models.annp import energy_chunked, energy_forces_chunked
