@@ -26,7 +26,7 @@ def log(*a):
 
 
 def run_md(x_np, box_np, pbc, ensemble, couple, steps, thermo, mcfg, params,
-           capacity, skin):
+           capacity, skin, minimize=False):
     import jax
     import jax.numpy as jnp
     from meng_zhang_tpu.md.simulation import MDConfig, Simulator
@@ -38,7 +38,8 @@ def run_md(x_np, box_np, pbc, ensemble, couple, steps, thermo, mcfg, params,
     pk = PallasAnnp(mcfg, params)
 
     def force_fn(xx, bb, nbrs):
-        return pk.energy_forces(xx, bb, nbrs.idx, nbrs.rev, want_virial=True)
+        return pk.energy_forces(xx, bb, nbrs.idx, nbrs.rev, want_virial=True,
+                                shift=False)
 
     rlist = mcfg.cut + skin
     # NPT shrinks the box; size the static cell grid for up to ~8% shrink
@@ -54,6 +55,24 @@ def run_md(x_np, box_np, pbc, ensemble, couple, steps, thermo, mcfg, params,
     sim = Simulator(force_fn, jnp.full(n, MASS_FE, jnp.float32), cfg)
     x = jnp.asarray(x_np, jnp.float32)
     box = jnp.asarray(box_np, jnp.float32)
+    pe_off = n * mcfg.e_shift
+
+    if minimize:
+        # the reference benchmark minimizes before its NPT run
+        # (in.st_test: minimize 1e-6 1e-6 1000 10000); measuring an
+        # unminimized scene under-reports the steady-state rebuild cadence
+        from meng_zhang_tpu.md.minimize import fire_minimize
+        t0 = time.time()
+        nbrs = sim.build_nbrs(x, box)
+
+        def ef(xx, bb, nbr):
+            return pk.energy_forces(xx, bb, nbr[0], nbr[1], shift=False)
+
+        fst = fire_minimize(ef, x, box, (nbrs.idx, nbrs.rev), f_tol=5e-3,
+                            max_iter=60, dt0=5e-4, dt_max=5e-3, block=10)
+        x = fst.x
+        log(f"minimize: {time.time() - t0:.1f}s fmax={float(fst.fmax):.2e} "
+            f"pe={float(fst.pe) + pe_off:.6e}")
 
     t0 = time.time()
     st = sim.init_state(x, box, seed=4928459, t_init=300.0)
@@ -72,16 +91,20 @@ def run_md(x_np, box_np, pbc, ensemble, couple, steps, thermo, mcfg, params,
     wall = time.time() - t0
     aps = n * n_blocks * thermo / wall
     log(f"{n_blocks * thermo} steps in {wall:.2f}s -> {aps:,.0f} atom-steps/s"
-        f"  T={float(th.temp[-1]):.1f}K rebuilds={sim.rebuild_count}"
-        f" overflow={bool(st.overflow)}")
+        f"  T={float(th.temp[-1]):.1f}K PE={float(th.pe[-1]) + pe_off:.6e}"
+        f"  rebuilds={sim.rebuild_count}"
+        f" ({n_blocks * thermo / max(sim.rebuild_count, 1):.0f} steps/rebuild)"
+        f" overflow={bool(st.overflow)} unsafe={bool(st.unsafe)}")
     assert not bool(st.overflow)
     return aps
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--steps", type=int, default=500,
+                    help="measured steps (post-minimize, post-warmup)")
     ap.add_argument("--thermo", type=int, default=10)
+    ap.add_argument("--no-minimize", action="store_true")
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--n-cells", type=int, default=24)
     args = ap.parse_args()
@@ -111,7 +134,8 @@ def main():
             log(f"reference scene: {d.n} atoms, box {d.box}, NPT y-couple")
             aps = run_md(d.x, d.box, pbc, "npt", (False, True, False),
                          args.steps, args.thermo, mcfg, params,
-                         capacity=256, skin=1.2)
+                         capacity=256, skin=1.2,
+                         minimize=not args.no_minimize)
             print(json.dumps({
                 "metric": "reference 152880-atom bcc-Fe NPT (in.st_test scene)",
                 "value": round(aps, 1),

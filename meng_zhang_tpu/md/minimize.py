@@ -31,11 +31,15 @@ def fire_minimize(force_fn: Callable, x0, box, nbr_idx,
                   block=50):
     """Minimize with FIRE on a fixed neighbor list.
 
-    force_fn(x, box, nbr_idx) -> (pe, forces). Returns final FireState.
-    Iterations run in jitted blocks of `block` with a host convergence check
-    between blocks (an unbounded while_loop around chunked force kernels
-    fault on TPU). Callers should rebuild the neighbor list and re-run until
-    displacement converges (see `fire_relax`).
+    force_fn(x, box, nbr) -> (pe, forces); `nbr_idx` is passed through to
+    force_fn opaquely (an index array, or any pytree such as (idx, rev)) as
+    a jit ARGUMENT -- baking a production-size neighbor table into the
+    program as a closure constant makes the serialized graph exceed the
+    axon remote-compile request limit (HTTP 413). Iterations run in jitted
+    blocks of `block` with a host convergence check between blocks (an
+    unbounded while_loop around chunked force kernels faults on TPU).
+    Callers should rebuild the neighbor list and re-run until displacement
+    converges (see `fire_relax`).
     """
     pe, f = force_fn(x0, box, nbr_idx)
     s = FireState(x=x0, v=jnp.zeros_like(x0), f=f, pe=pe,
@@ -45,7 +49,7 @@ def fire_minimize(force_fn: Callable, x0, box, nbr_idx,
                   n_iter=jnp.asarray(0, jnp.int32),
                   fmax=jnp.max(jnp.abs(f)))
 
-    def body(s):
+    def body(s, nbr):
         v = s.v + s.dt * s.f
         power = jnp.sum(s.f * v)
         f_norm = jnp.sqrt(jnp.sum(s.f * s.f)) + 1e-30
@@ -62,15 +66,16 @@ def fire_minimize(force_fn: Callable, x0, box, nbr_idx,
                           jnp.where(uphill, alpha0, s.alpha))
 
         x = s.x + dt * v
-        pe, f = force_fn(x, box, nbr_idx)
+        pe, f = force_fn(x, box, nbr)
         return FireState(x=x, v=v, f=f, pe=pe, dt=dt, alpha=alpha,
                          n_pos=n_pos, n_iter=s.n_iter + 1,
                          fmax=jnp.max(jnp.abs(f)))
 
     run_block = jax.jit(
-        lambda st: jax.lax.fori_loop(0, block, lambda i, ss: body(ss), st))
+        lambda st, nbr: jax.lax.fori_loop(
+            0, block, lambda i, ss: body(ss, nbr), st))
     while float(s.fmax) > f_tol and int(s.n_iter) < max_iter:
-        s = run_block(s)
+        s = run_block(s, nbr_idx)
     return s
 
 

@@ -159,17 +159,24 @@ def _pad_rows(a, rows, fill):
     return jnp.concatenate([a, jnp.full((rows,) + a.shape[1:], fill, a.dtype)])
 
 
-def _strain_dx(dx, eps):
+def _strain_dx(dx, eps, mask=None):
     """Apply a linear strain to 3 x [C, K] displacement components:
     dx'_a = dx_a + sum_b dx_b * eps[b, a]  (row-vector dx @ (I + eps)).
-    Differentiating the energy w.r.t. eps at 0 yields the virial."""
+    Differentiating the energy w.r.t. eps at 0 yields the virial. With a
+    per-row `mask` [C], only masked rows are strained -- the eps-gradient
+    then tallies only those rows' pairs (the sharded per-device virial)."""
     if eps is None:
         return dx
-    return [dx[a] + sum(dx[b] * eps[b, a] for b in range(3)) for a in range(3)]
+    if mask is None:
+        return [dx[a] + sum(dx[b] * eps[b, a] for b in range(3))
+                for a in range(3)]
+    m = mask[:, None]
+    return [dx[a] + m * sum(dx[b] * eps[b, a] for b in range(3))
+            for a in range(3)]
 
 
 def _chunk_energy_cheb(cfg: AnnpConfig, params, xc, xpad, idx, box,
-                       valid=None, eps=None):
+                       valid=None, eps=None, eps_mask=None, reduce=True):
     """Chebyshev chunk energy in TPU-friendly [C, K] component layout.
 
     xc: 3 x [C] chunk coordinates; xpad: 3 x [N+1] padded coordinates;
@@ -188,7 +195,7 @@ def _chunk_energy_cheb(cfg: AnnpConfig, params, xc, xpad, idx, box,
             dd = dd - box[d] * jnp.round(dd / box[d])
         dx.append(dd)
         rsq0 = rsq0 + dd * dd
-    dx = _strain_dx(dx, eps)
+    dx = _strain_dx(dx, eps, eps_mask)
     rsq = dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2] if eps is not None \
         else rsq0
     mask = mask & (rsq < rc * rc) & (rsq > 1.0e-12)
@@ -234,11 +241,11 @@ def _chunk_energy_cheb(cfg: AnnpConfig, params, xc, xpad, idx, box,
     e_at = cfg.e_scale * out[:, 0] + cfg.e_shift
     if valid is not None:
         e_at = jnp.where(valid, e_at, 0.0)
-    return jnp.sum(e_at)
+    return jnp.sum(e_at) if reduce else e_at
 
 
 def _chunk_energy_behler(cfg: AnnpConfig, params, xc, xpad, idx, box,
-                         valid=None, eps=None):
+                         valid=None, eps=None, eps_mask=None, reduce=True):
     """Behler-Parrinello chunk energy in [C, K] component layout (ni).
 
     Same layout rules as `_chunk_energy_cheb`; the G4 three-leg geometry
@@ -260,7 +267,7 @@ def _chunk_energy_behler(cfg: AnnpConfig, params, xc, xpad, idx, box,
         if cfg.pbc[d]:
             dd = dd - box[d] * jnp.round(dd / box[d])
         dx.append(dd)
-    dx = _strain_dx(dx, eps)
+    dx = _strain_dx(dx, eps, eps_mask)
     rsq = dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2]
     mask = mask & (rsq > 1.0e-12)
     r = jnp.sqrt(jnp.where(mask, rsq, 1.0))
@@ -316,7 +323,111 @@ def _chunk_energy_behler(cfg: AnnpConfig, params, xc, xpad, idx, box,
     e_at = cfg.e_scale * out[:, 0] + cfg.e_shift
     if valid is not None:
         e_at = jnp.where(valid, e_at, 0.0)
-    return jnp.sum(e_at)
+    return jnp.sum(e_at) if reduce else e_at
+
+
+def compact_neighbor_rows(x, box, idx, rc, k_short, pbc=(True, True, True),
+                          row_chunk=8192):
+    """Per-eval short-neighbor repack for the chunked XLA paths.
+
+    The TPU equivalent of the reference's k_annp_short_nbor
+    (fe/lib/lal_annp.cu:267-344): each skin-padded neighbor row (capacity K,
+    ~rlist entries) is compacted to its in-cutoff prefix by a stable row
+    sort and sliced to k_short columns, so the O(K^2) angular work runs at
+    the physical neighbor count instead of the list capacity. The membership
+    set is exact at the current positions; atoms at the cutoff boundary
+    carry fc = 0, so energies/forces are unchanged.
+
+    Returns (idx_short [N, k_short], overflow). Descriptor paths re-check
+    the cutoff, so a stale-by-one-step compaction can only DROP pairs --
+    which the overflow flag reports."""
+    from ..system.neighbors import _compact_rows
+    n, k = idx.shape
+    xp = [jnp.concatenate([x[:, d], jnp.zeros((1,), x.dtype)])
+          for d in range(3)]
+    n_pad = -(-n // row_chunk) * row_chunk
+    idx_p = _pad_rows(idx, n_pad - n, n)
+    xi = tuple(_pad_rows(x[:, d], n_pad - n, 0.0).reshape(-1, row_chunk)
+               for d in range(3))
+
+    def chunk_fn(args):
+        x0, x1, x2, ic = args
+        rsq = jnp.zeros(ic.shape, x.dtype)
+        for d, xd in enumerate((x0, x1, x2)):
+            dd = xd[:, None] - xp[d][ic]
+            if pbc[d]:
+                dd = dd - box[d] * jnp.round(dd / box[d])
+            rsq = rsq + dd * dd
+        within = (ic < n) & (rsq < rc * rc)
+        return _compact_rows(within, ic, k_short, n)
+
+    idx_c, counts = jax.lax.map(
+        chunk_fn, (xi[0], xi[1], xi[2],
+                   idx_p.reshape(-1, row_chunk, k)))
+    idx_short = idx_c.reshape(n_pad, k_short)[:n]
+    overflow = jnp.any(counts.reshape(-1)[:n] > k_short)
+    return idx_short, overflow
+
+
+def energy_forces_virial_frame(cfg: AnnpConfig, params, x_src, box, idx,
+                               off, vslice, chunk=512):
+    """Sharded-frame evaluation via the chunked [C,K] paths (fe AND ni).
+
+    The newton-off halo formulation: center rows (local atoms + an
+    extension covering every atom within rlist of a local one) each get a
+    complete per-atom energy from frame positions; forces on frame atoms are
+    -d(sum of center energies)/dx, which is exact for the LOCAL rows because
+    their full energy neighborhood is inside the center set. The virial
+    applies the strain only to the local rows' displacements, so its
+    eps-gradient tallies exactly this device's half-pairs -- one forward +
+    one backward for energies, forces, and virial together.
+
+    x_src [C_ext, 3]: frame positions (centers at rows [off, off+Cc));
+    idx [Cc, K]: neighbor rows in frame indices (sentinel C_ext);
+    vslice=(lo, hi): local center rows. Returns (eat [Cc] shifted,
+    f_frame-sliced-to-centers [Cc, 3], virial [3,3]).
+    """
+    cc = idx.shape[0]
+    lo, hi = vslice
+    cfg0 = dataclasses.replace(cfg, e_shift=0.0)
+    chunk_fn = (_chunk_energy_cheb if cfg.descriptor == SYM_CHEBYSHEV
+                else _chunk_energy_behler)
+    cc_pad = -(-cc // chunk) * chunk
+    idx_p = _pad_rows(idx, cc_pad - cc, x_src.shape[0])
+    loc = ((jnp.arange(cc_pad) >= lo) & (jnp.arange(cc_pad) < hi))
+    valid = jnp.arange(cc_pad) < cc
+
+    def f(x_ext, eps):
+        xpad = tuple(jnp.concatenate([x_ext[:, d],
+                                      jnp.zeros((1,), x_ext.dtype)])
+                     for d in range(3))
+        xc_rows = x_ext[off: off + cc]
+        xc = tuple(_pad_rows(xc_rows[:, d], cc_pad - cc, 0.0)
+                   .reshape(-1, chunk) for d in range(3))
+        idx_c = idx_p.reshape(-1, chunk, idx.shape[1])
+        loc_c = loc.reshape(-1, chunk)
+        val_c = valid.reshape(-1, chunk)
+
+        @jax.checkpoint
+        def body(carry, args):
+            xc0, xc1, xc2, ic, lc, vc = args
+            e_at = chunk_fn(cfg0, params, (xc0, xc1, xc2), xpad, ic, box,
+                            valid=vc, eps=eps,
+                            eps_mask=lc.astype(x_ext.dtype), reduce=False)
+            return (carry[0] + jnp.sum(e_at),
+                    carry[1] + jnp.sum(jnp.where(lc, e_at, 0.0))), e_at
+
+        (e_all, e_loc), eat = jax.lax.scan(
+            body, (jnp.zeros((), x_ext.dtype),) * 2,
+            (xc[0], xc[1], xc[2], idx_c, loc_c, val_c))
+        return e_all, (e_loc, eat.reshape(cc_pad)[:cc])
+
+    eps0 = jnp.zeros((3, 3), x_src.dtype)
+    (_, (_, eat)), (g_x, g_eps) = jax.value_and_grad(
+        f, argnums=(0, 1), has_aux=True)(x_src, eps0)
+    w = -0.5 * (g_eps + g_eps.T)
+    f_cc = -g_x[off: off + cc]
+    return eat + cfg.e_shift, f_cc, w
 
 
 def energy_chunked(cfg: AnnpConfig, params, x, box, nbr_idx, elems=None,

@@ -1,212 +1,332 @@
-"""Multi-chip spatial domain decomposition (the MD analogue of data parallel).
+"""Multi-chip spatial domain decomposition -- the production sharded driver.
 
 TPU-native replacement for the reference's MPI machinery (LAMMPS rank
-subdomains + ghost exchange, `processors 2 1 1` in the benchmark,
-in.st_test:2; parameter MPI_Bcast fe/src/pair_annp.cpp:516-574):
+subdomains + per-step ghost exchange, `processors 2 1 1` in the benchmark,
+in.st_test:2; parameter MPI_Bcast fe/src/pair_annp.cpp:516-574; ANNA-ADP's
+mid-step 12-field forward_comm, src/pair_anna_adp_gpu.cpp:135-158):
 
-  * Atoms are globally SORTED by x at every rebuild and partitioned into
-    equal-count contiguous slabs -- one per device. Equal counts = perfect
-    load balance; sorted order makes every halo a *contiguous* block.
+  * Atoms are globally sorted by x ONCE at `distribute` and partitioned into
+    equal-count contiguous slabs, one per device. Equal counts = perfect load
+    balance and static shapes; sorted order makes every halo a *contiguous*
+    index block. The atom->device assignment then stays FIXED: in solid-state
+    MD atoms vibrate around lattice sites, so the initial spatial sort stays
+    coherent indefinitely (LAMMPS likewise migrates only at rebuilds, and the
+    benchmark scenes are crystals). `redistribute` re-sorts on demand for
+    diffusive runs; the rebuild-time coverage proof reports when that becomes
+    necessary.
   * Per step, each device refreshes its two halo blocks (B atoms each) from
-    its ring neighbors with `lax.ppermute` over ICI -- the ghost-atom
-    forward communication of the reference, minus any host staging.
-  * Forces use the same newton-off gather formulation as the single-chip
-    path: each device evaluates descriptor/force rows for its local atoms
-    PLUS a center-extension of Bc = B//2 halo atoms per side (every center
-    that lists a local atom as neighbor), so the reverse-slot partner sums
-    stay entirely local. B must cover all atoms within a 2*(cutoff+skin)
-    x-slab of a slab boundary; a psum'd overflow flag reports violations.
+    its ring neighbors with `lax.ppermute` over ICI -- the ghost forward
+    communication of the reference, minus any host staging.
+  * Neighbor rebuilds are DEVICE-LOCAL: each device runs the cell-list build
+    over its own frame (local + halo positions, x shifted to a frame-local
+    origin), so no global gather, sort, or replicated O(N) work happens
+    inside a run. Staleness (>0.4*skin drift) is flagged in-step; the host
+    triggers the sharded rebuild program at the next block boundary, exactly
+    like the single-chip driver (md/simulation.py). A `>0.5*skin` sticky
+    `unsafe` flag records any LAMMPS-style "dangerous build".
+  * Frame adequacy is *proven* at every rebuild by exchanging six per-device
+    x-extent scalars (one all_gather): (a) every non-frame atom is > rlist
+    from every center row, and (b) every non-center atom is > rlist from
+    every local atom (so reverse-slot partner sums and ANNA neighbor fields
+    are complete). Violations trip the sticky overflow flag -- pairs can
+    never go missing silently.
+  * Thermostats/barostats run the same Nose-Hoover chain and MTK barostat
+    math as the single-chip driver (md/integrate.py), driven by psum-reduced
+    global KE / virial; chain state is replicated so every device computes
+    bit-identical updates. NPT rescales positions and box identically on all
+    devices; the slab geometry scales with the box automatically.
   * Weights are replicated (a jit constant) -- the MPI_Bcast equivalent.
 
-Neighbor rebuilds run globally (replicated positions, one build, slab
-slicing + index remap); between rebuilds everything is device-local except
-the two ppermutes and the psum thermo reductions.
+Model adapters:
+  * AnnpFrameModel -- fused Pallas Chebyshev ANNP (fe/fe_v2); reverse-slot
+    partner sums stay device-local via a bc-row center extension.
+  * AnnaFrameModel -- ANNA-ADP two-phase halo recompute: per-atom fields
+    (d2,q2,rho,mu,lambda) are computed for local+extended center rows from
+    the position halo, replacing the reference's 12 per-field MPI round
+    trips (src/pair_anna_adp_gpu.cpp:135-158, pack/unpack :279-318) with
+    zero extra communication.
 """
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..md import integrate as I
+from ..md.simulation import Thermo
 from ..system.neighbors import (build_neighbors_cell, build_neighbors_n2,
                                 cell_grid_dims, reverse_slots)
-from ..units import BOLTZ, MVV2E
-from ..md import integrate as I
+from ..units import BOLTZ, MVV2E, NKTV2P
 
 
 class ShardState(NamedTuple):
-    """Per-device slab state (leading axis sharded over the mesh)."""
-    x_loc: jax.Array     # [D, C, 3] local atom positions (sorted order)
-    v_loc: jax.Array     # [D, C, 3]
-    f_loc: jax.Array     # [D, C, 3]
-    halo_l: jax.Array    # [D, B, 3] positions of left-neighbor edge atoms
-    halo_r: jax.Array    # [D, B, 3]
-    idx: jax.Array       # [D, Cc, K] neighbor table rows for extended centers,
-                         #            indices in the local frame [0, C+2B)
-    rev: jax.Array       # [D, Cc, K] reverse slots within the center frame
-    pe: jax.Array        # [D] per-device potential energy of local atoms
-    step: jax.Array
-    stale: jax.Array     # [D] bool
-    overflow: jax.Array  # [D] bool
+    """Sharded MD state. Leaves with a leading [D] axis are sharded over the
+    mesh axis "dp"; the rest are replicated."""
+    x_loc: jax.Array      # [D, C, 3]
+    v_loc: jax.Array      # [D, C, 3]
+    f_loc: jax.Array      # [D, C, 3]
+    halo_l: jax.Array     # [D, B, 3] ring-received edge positions
+    halo_r: jax.Array     # [D, B, 3]
+    idx: jax.Array        # [D, Cc, K] neighbor rows (frame indices)
+    rev: jax.Array        # [D, Cc, K] partner slots (annp) or [D, 1, 1]
+    ref_loc: jax.Array    # [D, C, 3] local positions at last rebuild
+    pe: jax.Array         # [D] per-device shift-free potential energy
+    box: jax.Array        # [3] (replicated)
+    virial: jax.Array     # [3, 3] global, psum'd at force eval (replicated)
+    nhc: I.NHCState       # particle thermostat chain (replicated)
+    v_eps: jax.Array      # [3] barostat strain rates (replicated)
+    baro_nhc: I.NHCState  # barostat thermostat chain (replicated)
+    step: jax.Array       # (replicated)
+    stale: jax.Array      # [D] rebuild wanted
+    unsafe: jax.Array     # [D] sticky: drift crossed skin/2 pre-rebuild
+    overflow: jax.Array   # [D] sticky: capacity/coverage violation
+
+
+def _state_specs():
+    sh, rep = P("dp"), P()
+    return ShardState(
+        x_loc=sh, v_loc=sh, f_loc=sh, halo_l=sh, halo_r=sh, idx=sh, rev=sh,
+        ref_loc=sh, pe=sh, box=rep, virial=rep,
+        nhc=I.NHCState(rep, rep), v_eps=rep, baro_nhc=I.NHCState(rep, rep),
+        step=rep, stale=sh, unsafe=sh, overflow=sh)
 
 
 @dataclasses.dataclass(frozen=True)
 class ShardConfig:
     n_devices: int
-    c_loc: int            # atoms per device (N padded to D*C)
-    halo_b: int           # halo block size (atoms; must cover a 2*rlist slab)
+    c_loc: int            # atoms per device (n must equal D*C)
+    halo_b: int           # halo block size in atoms; must span > rlist in x
     capacity: int         # neighbor capacity K
     cutoff: float
     skin: float
     dt: float
-    ensemble: str = "nve"
+    ensemble: str = "nve"          # "nve" | "nvt" | "npt"
     t_target: float = 300.0
     tau_t: float = 0.1
+    nhc_len: int = 3
+    p_target: tuple = (0.0, 0.0, 0.0)
+    p_couple: tuple = (False, False, False)
+    tau_p: float = 1.0
     thermo_every: int = 10
+    pbc: tuple = (True, True, True)
+    cell_capacity: int = 64
+    nbr_method: str = "auto"       # "auto" | "cell" | "n2"
 
     @property
-    def bc(self) -> int:          # center extension per side
+    def bc(self) -> int:          # center-row extension per side
         return self.halo_b // 2
 
     @property
-    def c_ext(self) -> int:       # position rows per device
+    def c_ext(self) -> int:       # position rows per device frame
         return self.c_loc + 2 * self.halo_b
 
     @property
     def cc(self) -> int:          # center rows per device
         return self.c_loc + 2 * self.bc
 
+    @property
+    def rlist(self) -> float:
+        return self.cutoff + self.skin
+
+
+class AnnpFrameModel:
+    """Adapter: fused Pallas Chebyshev ANNP over a halo frame."""
+    with_rev = True
+
+    def __init__(self, pk):
+        self.pk = pk
+        self.e_shift = dict(pk.cfg_key)["e_shift"]
+
+    def eval(self, xc, x_ext, box, idx, rev, off, vslice, want_virial):
+        return self.pk.energy_forces_frame(
+            xc, x_ext, box, idx, rev, off, want_virial=want_virial,
+            vslice=vslice if want_virial else None)
+
+
+class XlaFrameModel:
+    """Adapter: chunked XLA ANNP evaluation over a halo frame (fe AND ni).
+
+    Newton-off halo formulation: forces are -grad of the summed center-row
+    energies (models.annp.energy_forces_virial_frame). No reverse-slot maps
+    needed; this is also the sharded path for the Behler-Parrinello ni
+    potential, which has no fused Pallas kernel."""
+    with_rev = False
+
+    def __init__(self, mcfg, params, chunk=512):
+        from ..models import annp
+        self._m = annp
+        self.mcfg = mcfg
+        self.params = params
+        self.chunk = chunk
+        self.e_shift = mcfg.e_shift
+
+    def eval(self, xc, x_ext, box, idx, rev, off, vslice, want_virial):
+        return self._m.energy_forces_virial_frame(
+            self.mcfg, self.params, x_ext, box, idx, off, vslice,
+            chunk=self.chunk)
+
+
+class AnnaFrameModel:
+    """Adapter: ANNA-ADP two-phase halo-recompute evaluation.
+
+    The reference communicates 12 per-atom fields between its energy and
+    force phases (rho, mu x3, lambda x6, d2q2 x2). Here every device simply
+    computes those fields for its local atoms PLUS the bc-row center
+    extension (every atom within rlist of a local atom) directly from the
+    position halo -- the fields are pure functions of positions within the
+    cutoff, so a 2x-rlist position halo makes the field exchange redundant.
+    """
+    with_rev = False
+
+    def __init__(self, mcfg, params):
+        from ..models import anna_adp
+        self._m = anna_adp
+        self.mcfg = mcfg
+        self.params = params
+        self.e_shift = mcfg.e_base
+
+    def eval(self, xc, x_ext, box, idx, rev, off, vslice, want_virial):
+        return self._m.energy_forces_frame(
+            self.mcfg, self.params, xc, x_ext, box, idx, off, vslice,
+            want_virial=want_virial)
+
 
 class ShardedMD:
-    """1-D spatially-sharded MD driver around a PallasAnnp-style evaluator.
+    """Spatially-sharded MD driver (1-D slab decomposition over a Mesh)."""
 
-    evaluator must expose `energy_forces_frame(x_centers, x_src, box, idx,
-    rev, n_local_slice)` semantics via `make_frame_force` below; here we
-    wire it to PallasAnnp directly.
-    """
-
-    def __init__(self, pallas_model, masses_scalar, box, cfg: ShardConfig,
+    def __init__(self, model, masses_scalar, box, cfg: ShardConfig,
                  mesh: Mesh | None = None):
-        self.pk = pallas_model
+        # accept a bare PallasAnnp for convenience
+        if hasattr(model, "energy_forces_frame"):
+            model = AnnpFrameModel(model)
+        self.model = model
         self.m = float(masses_scalar)
         self.cfg = cfg
+        if cfg.n_devices < 2:
+            raise ValueError("use md.simulation.Simulator for a single chip")
+        if cfg.n_devices == 2 and 2 * cfg.halo_b > cfg.c_loc:
+            raise ValueError("2-device ring needs halo_b <= c_loc/2 "
+                             "(the two halo blocks must not overlap)")
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()[:cfg.n_devices]), ("dp",))
         self.mesh = mesh
-        self.box = jnp.asarray(box)
+        self.box0 = np.asarray(box, np.float64)
+        self.n = cfg.n_devices * cfg.c_loc
+        self.ndof = 3 * self.n - 3
+        self.frame_wx: Optional[float] = None      # set by distribute()
+        self.frame_dims: Optional[tuple] = None
+        self.rebuild_count = 0
 
-    # ---------- global (re)distribution ----------
-    def distribute(self, x, v=None):
-        """Sort atoms by x, pad to D*C, slice slabs + halos + neighbor rows.
+    # ================= planning =================
+    def _plan_frame(self, xs_sorted_x: np.ndarray, box):
+        """Static frame x-extent + cell grid from the initial sorted coords.
 
-        Runs replicated (cheap relative to its ~50-100 step cadence).
-        Returns (ShardState, sort_order) -- order maps sorted->original.
+        Invalidates compiled programs (they bake the static geometry)."""
+        cfg = self.cfg
+        n, C, B = self.n, cfg.c_loc, cfg.halo_b
+        L = float(box[0])
+        spans = []
+        for d in range(cfg.n_devices):
+            i0, i1 = d * C - B, d * C + C + B
+            if 0 <= i0 and i1 <= n:
+                spans.append(xs_sorted_x[i1 - 1] - xs_sorted_x[i0])
+            elif cfg.pbc[0]:
+                lo = xs_sorted_x[i0 % n] - L if i0 < 0 else xs_sorted_x[i0]
+                hi = xs_sorted_x[(i1 - 1) % n] + (L if i1 > n else 0.0)
+                spans.append(hi - lo)
+            else:
+                i0c, i1c = max(i0, 0), min(i1, n)
+                spans.append(xs_sorted_x[i1c - 1] - xs_sorted_x[i0c])
+        self.frame_wx = float(np.max(spans)) + cfg.rlist
+        shrink = 0.92 if cfg.ensemble == "npt" else 1.0
+        dims = cell_grid_dims(
+            (self.frame_wx, float(box[1]) * shrink, float(box[2]) * shrink),
+            cfg.rlist)
+        method = cfg.nbr_method
+        if method == "auto":
+            method = "cell" if (min(dims) >= 3 and cfg.c_ext > 2048) else "n2"
+        self.frame_dims = dims if method == "cell" else None
+        for attr in ("_rebuild_fn", "_refill_fn", "_run1"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+
+    # ================= distribution =================
+    def distribute(self, x, v=None, box=None):
+        """Global sort by x (init-time only) -> slabs -> sharded local build.
+
+        Returns (ShardState, order); order maps sorted row -> original atom.
         """
         cfg = self.cfg
         n = x.shape[0]
-        n_pad = cfg.n_devices * cfg.c_loc
-        if n != n_pad:
-            raise ValueError(f"need n == n_devices*c_loc ({n_pad}), got {n}")
+        if n != self.n:
+            raise ValueError(f"need n == n_devices*c_loc ({self.n}), got {n}")
+        box_np = self.box0 if box is None else np.asarray(box, np.float64)
         order = jnp.argsort(x[:, 0])
         xs = x[order]
         vs = v[order] if v is not None else jnp.zeros_like(xs)
+        self._plan_frame(np.asarray(xs[:, 0], np.float64), box_np)
 
-        rlist = cfg.cutoff + cfg.skin
-        nbrs = self._global_build(xs)
-        rev = reverse_slots(nbrs)
-
-        d_idx = jnp.arange(cfg.n_devices)
-        lo = d_idx * cfg.c_loc
-
-        def slab(d):
-            lo_d = lo[d]
-            ext0 = lo_d - cfg.halo_b                     # start of frame
-            rows0 = lo_d - cfg.bc                        # first center row
-            center_rows = (rows0 + jnp.arange(cfg.cc)) % n
-            idx_d = nbrs.idx[center_rows]
-            rev_d = rev[center_rows]
-            # remap neighbor ids: global (sorted) -> local frame, periodic
-            rel = (idx_d - ext0) % n
-            # ids outside the frame, and sentinels, map to the frame sentinel
-            ok = (idx_d < n) & (rel < cfg.c_ext)
-            idx_local = jnp.where(ok, rel, cfg.c_ext).astype(jnp.int32)
-            # any real neighbor outside the frame = halo too small
-            bad = jnp.any((idx_d < n) & (rel >= cfg.c_ext))
-            loc_rows = (lo_d + jnp.arange(cfg.c_loc)) % n
-            hl_rows = (lo_d - cfg.halo_b + jnp.arange(cfg.halo_b)) % n
-            hr_rows = (lo_d + cfg.c_loc + jnp.arange(cfg.halo_b)) % n
-            return (xs[loc_rows], vs[loc_rows], xs[hl_rows], xs[hr_rows],
-                    idx_local, rev_d, bad)
-
-        x_l, v_l, h_l, h_r, idx_l, rev_l, bad = jax.vmap(slab)(d_idx)
+        D, C, B = cfg.n_devices, cfg.c_loc, cfg.halo_b
+        d_idx = jnp.arange(D)
+        ids_l = (d_idx[:, None] * C - B + jnp.arange(B)[None, :]) % n
+        ids_r = (d_idx[:, None] * C + C + jnp.arange(B)[None, :]) % n
+        dtype = x.dtype
+        rev0 = (jnp.zeros((D, cfg.cc, cfg.capacity), jnp.int32)
+                if self.model.with_rev else jnp.zeros((D, 1, 1), jnp.int32))
+        x_l = xs.reshape(D, C, 3)
         st = ShardState(
-            x_loc=x_l, v_loc=v_l, f_loc=jnp.zeros_like(x_l),
-            halo_l=h_l, halo_r=h_r, idx=idx_l, rev=rev_l,
-            pe=jnp.zeros(cfg.n_devices, x.dtype),
+            x_loc=x_l, v_loc=vs.reshape(D, C, 3), f_loc=jnp.zeros_like(x_l),
+            halo_l=xs[ids_l], halo_r=xs[ids_r],
+            idx=jnp.zeros((D, cfg.cc, cfg.capacity), jnp.int32), rev=rev0,
+            ref_loc=x_l, pe=jnp.zeros(D, dtype),
+            box=jnp.asarray(box_np, dtype),
+            virial=jnp.zeros((3, 3), dtype),
+            nhc=I.NHCState.zeros(cfg.nhc_len, dtype),
+            v_eps=jnp.zeros(3, dtype),
+            baro_nhc=I.NHCState.zeros(2, dtype),
             step=jnp.asarray(0, jnp.int32),
-            stale=jnp.zeros(cfg.n_devices, bool),
-            overflow=bad | nbrs.overflow)
+            stale=jnp.zeros(D, bool), unsafe=jnp.zeros(D, bool),
+            overflow=jnp.zeros(D, bool))
         st = self._shard(st)
-        st = self._fill_forces(st)
+        st = self.rebuild(st)
+        st = self.refill_forces(st)
         return st, order
 
-    def _fill_forces(self, st: ShardState) -> ShardState:
-        def dev(xl, hl, hr, idx, rev):
-            pe, f = self._force_local(xl[0], hl[0], hr[0], idx[0], rev[0])
-            return pe[None], f[None]
-
-        pe, f = jax.shard_map(
-            dev, mesh=self.mesh, in_specs=(P("dp"),) * 5,
-            out_specs=(P("dp"), P("dp")), check_vma=False,
-        )(st.x_loc, st.halo_l, st.halo_r, st.idx, st.rev)
-        return st._replace(f_loc=f, pe=pe)
-
-    def _global_build(self, xs):
-        cfg = self.cfg
-        rlist = cfg.cutoff + cfg.skin
-        dims = cell_grid_dims(np.asarray(self.box), rlist)
-        if min(dims) >= 3:
-            return build_neighbors_cell(xs, self.box, rlist, cfg.capacity,
-                                        dims, 96)
-        return build_neighbors_n2(xs, self.box, rlist, cfg.capacity)
-
     def _shard(self, st: ShardState) -> ShardState:
-        sh = NamedSharding(self.mesh, P("dp"))
-        rep = NamedSharding(self.mesh, P())
+        leaves, treedef = jax.tree_util.tree_flatten(st)
+        spec_leaves = jax.tree_util.tree_flatten(
+            _state_specs(), is_leaf=lambda s: isinstance(s, P))[0]
+        put = [jax.device_put(l, NamedSharding(self.mesh, s))
+               for l, s in zip(leaves, spec_leaves)]
+        return jax.tree_util.tree_unflatten(treedef, put)
 
-        def put(leaf):
-            if hasattr(leaf, "ndim") and leaf.ndim >= 1 \
-                    and leaf.shape[0] == self.cfg.n_devices:
-                return jax.device_put(leaf, sh)
-            return jax.device_put(leaf, rep)
+    def _smap(self, fn, out_specs=None):
+        specs = _state_specs()
+        return jax.shard_map(fn, mesh=self.mesh, in_specs=(specs,),
+                             out_specs=specs if out_specs is None
+                             else out_specs, check_vma=False)
 
-        return jax.tree_util.tree_map(put, st)
+    # ---------- per-device frame helpers (run inside shard_map) ----------
+    def _frame(self, x, hl, hr):
+        return jnp.concatenate([hl, x, hr], axis=0)      # [C_ext, 3]
 
-    # ---------- per-device physics ----------
-    def _frame_positions(self, x_loc, halo_l, halo_r):
-        return jnp.concatenate([halo_l, x_loc, halo_r], axis=0)  # [C_ext, 3]
-
-    def _force_local(self, x_loc, halo_l, halo_r, idx, rev):
-        """Energy of local atoms + forces on local atoms (one device)."""
+    def _force_local(self, x, hl, hr, box, idx, rev):
+        """(pe_shiftfree, f_local [C,3], w_local [3,3])."""
         cfg = self.cfg
-        x_ext = self._frame_positions(x_loc, halo_l, halo_r)
-        off = cfg.halo_b - cfg.bc              # center-frame offset in frame
+        x_ext = self._frame(x, hl, hr)
+        off = cfg.halo_b - cfg.bc
         xc = x_ext[off: off + cfg.cc]
-        eat, forces = self.pk.energy_forces_frame(
-            xc, x_ext, self.box, idx, rev, off)
-        sl = slice(cfg.bc, cfg.bc + cfg.c_loc)
-        e_shift = dict(self.pk.cfg_key)["e_shift"]
-        pe = jnp.sum(eat[sl] - e_shift) + cfg.c_loc * e_shift
-        return pe, forces[sl]
+        sl = (cfg.bc, cfg.bc + cfg.c_loc)
+        eat, forces, w = self.model.eval(xc, x_ext, box, idx, rev, off, sl,
+                                         True)
+        pe = jnp.sum(eat[sl[0]:sl[1]] - self.model.e_shift)
+        return pe, forces[sl[0]:sl[1]], w
 
     def _halo_refresh(self, x_loc):
-        """Ring-exchange edge blocks: my top B rows -> right neighbor's left
-        halo; my bottom B rows -> left neighbor's right halo."""
         cfg = self.cfg
         dn = cfg.n_devices
         right = [(i, (i + 1) % dn) for i in range(dn)]
@@ -215,72 +335,321 @@ class ShardedMD:
         halo_r = jax.lax.ppermute(x_loc[:cfg.halo_b], "dp", left)
         return halo_l, halo_r
 
-    # ---------- sharded step ----------
-    def _step_device(self, st_leaf):
-        """One velocity-Verlet step; runs inside shard_map (leaves have the
-        device axis stripped)."""
+    def _displacement_exceeds(self, x, ref, box, bound):
+        rsq = jnp.zeros(x.shape[0], x.dtype)
+        for d in range(3):
+            dd = x[:, d] - ref[:, d]
+            if self.cfg.pbc[d]:
+                dd = dd - box[d] * jnp.round(dd / box[d])
+            rsq = rsq + dd * dd
+        return jnp.any(rsq > bound * bound)
+
+    # ---------- rebuild: device-local cell build + coverage proof ----------
+    def _rebuild_body(self, st: ShardState) -> ShardState:
         cfg = self.cfg
-        (x, v, f, hl, hr, idx, rev, pe, step, stale, ovf) = st_leaf
+        D, C, B, bc = cfg.n_devices, cfg.c_loc, cfg.halo_b, cfg.bc
+        i = jax.lax.axis_index("dp")
+        x, hl, hr = st.x_loc[0], st.halo_l[0], st.halo_r[0]
+        box = st.box
+        dtype = x.dtype
+        big = jnp.asarray(1e30, dtype)
+
+        # unwrap ring-edge halos so the frame is x-contiguous (periodic x);
+        # for non-periodic x the edge halos are physically meaningless far
+        # atoms -- they park outside the frame and the distance checks
+        # exclude them from every pair (their rows are never a local slice)
+        valid = jnp.ones(cfg.c_ext, bool)
+        if cfg.pbc[0]:
+            hl = hl.at[:, 0].add(jnp.where(i == 0, -box[0], 0.0))
+            hr = hr.at[:, 0].add(jnp.where(i == D - 1, box[0], 0.0))
+        else:
+            valid = valid.at[:B].set(i != 0)
+            valid = valid.at[C + B:].set(i != D - 1)
+        x_ext = self._frame(x, hl, hr)
+
+        wx = jnp.asarray(self.frame_wx, dtype)
+        fx = jnp.where(valid, x_ext[:, 0], jnp.min(x[:, 0]))
+        origin = 0.5 * (jnp.min(fx) + jnp.max(fx)) - 0.5 * wx
+        xs = x_ext.at[:, 0].add(-origin)
+        out_of_frame = jnp.any(valid & ((xs[:, 0] < 0.0) | (xs[:, 0] >= wx)))
+        frame_box = jnp.stack([wx, box[1], box[2]])
+        fpbc = (False, cfg.pbc[1], cfg.pbc[2])
+        if self.frame_dims is not None:
+            nl = build_neighbors_cell(xs, frame_box, cfg.rlist, cfg.capacity,
+                                      self.frame_dims, cfg.cell_capacity,
+                                      pbc=fpbc)
+        else:
+            nl = build_neighbors_n2(xs, frame_box, cfg.rlist, cfg.capacity,
+                                    pbc=fpbc)
+        off = B - bc
+        idx_c = nl.idx[off: off + cfg.cc]
+        rev_c = (reverse_slots(nl)[off: off + cfg.cc]
+                 if self.model.with_rev else st.rev[0])
+
+        # ---- coverage proof (one all_gather of 6 scalars per device):
+        # (a) no non-frame atom within rlist of any center row, and
+        # (b) no non-center atom within rlist of any local row.
+        # Every device's atoms occupy a contiguous x-interval (positions are
+        # never re-wrapped during a run), so each outside set is a union of
+        # per-device intervals; a violation is an interval intersecting the
+        # rlist-widened band around this device's center/local interval --
+        # an exact circular interval-intersection test on gathered scalars.
+        xc_x = x_ext[off: off + cfg.cc, 0]
+        vc = valid[off: off + cfg.cc]        # parked edge rows excluded
+        ctr_min = jnp.min(jnp.where(vc, xc_x, big))
+        ctr_max = jnp.max(jnp.where(vc, xc_x, -big))
+        loc_min, loc_max = jnp.min(x[:, 0]), jnp.max(x[:, 0])
+
+        def hits_band(b_lo, b_hi, a_lo, a_w):
+            """Interval [b_lo, b_hi] intersects band [a_lo, a_lo + a_w]
+            (circularly when x is periodic)."""
+            b_w = b_hi - b_lo
+            if cfg.pbc[0]:
+                dd = b_lo - a_lo
+                dd = dd - box[0] * jnp.floor(dd / box[0])    # [0, L)
+                return (dd < a_w) | (dd > box[0] - b_w)
+            return (b_lo < a_lo + a_w) & (a_lo < b_lo + b_w)
+
+        if D == 2:
+            # both halos come from the SAME neighbor: its non-frame /
+            # non-center rows are the single mid block [B, C-B) / [bc, C-bc)
+            def seg(lo_r, hi_r):
+                if hi_r <= lo_r:
+                    return (big, -big)       # empty: never intersects
+                return (jnp.min(x[lo_r:hi_r, 0]), jnp.max(x[lo_r:hi_r, 0]))
+
+            mB = seg(B, C - B)
+            mc = seg(bc, C - bc)
+            g = jax.lax.all_gather(jnp.stack([*mB, *mc]), "dp")   # [2, 4]
+            o = 1 - i
+
+            def check(col, ref_lo, ref_hi):
+                a_lo = ref_lo - cfg.rlist
+                a_w = (ref_hi - ref_lo) + 2.0 * cfg.rlist
+                return hits_band(g[o, col], g[o, col + 1], a_lo, a_w)
+
+            bad_cover = (check(0, ctr_min, ctr_max)
+                         | check(2, loc_min, loc_max))
+        else:
+            # left neighbor's rows [0, C-B) and right neighbor's rows [B, C)
+            # are the adjacent non-frame blocks; every other device is
+            # entirely non-frame
+            pb_B = jnp.max(x[: C - B, 0]) if C > B else -big
+            pa_B = jnp.min(x[B:, 0]) if C > B else big
+            pb_c = jnp.max(x[: C - bc, 0]) if C > bc else -big
+            pa_c = jnp.min(x[bc:, 0]) if C > bc else big
+            g = jax.lax.all_gather(jnp.stack([
+                loc_min, loc_max, pb_B, pa_B, pb_c, pa_c]), "dp")  # [D, 6]
+            ar = jnp.arange(D)
+
+            def check(col_l, col_r, ref_lo, ref_hi, nonempty):
+                a_lo = ref_lo - cfg.rlist
+                a_w = (ref_hi - ref_lo) + 2.0 * cfg.rlist
+                if cfg.pbc[0]:
+                    far = ((ar != (i - 1) % D) & (ar != i)
+                           & (ar != (i + 1) % D))
+                else:
+                    far = (ar < i - 1) | (ar > i + 1)
+                bad = jnp.any(far & hits_band(g[:, 0], g[:, 1], a_lo, a_w))
+                if nonempty:  # partial blocks of the two ring neighbors
+                    il, ir = (i - 1) % D, (i + 1) % D
+                    hit_l = hits_band(g[il, 0], g[il, col_l], a_lo, a_w)
+                    hit_r = hits_band(g[ir, col_r], g[ir, 1], a_lo, a_w)
+                    if not cfg.pbc[0]:
+                        hit_l = hit_l & (i >= 1)
+                        hit_r = hit_r & (i <= D - 2)
+                    bad = bad | hit_l | hit_r
+                return bad
+
+            bad_cover = (check(2, 3, ctr_min, ctr_max, C > B)
+                         | check(4, 5, loc_min, loc_max, C > bc))
+
+        ovf = st.overflow[0] | nl.overflow | out_of_frame | bad_cover
+        return st._replace(
+            idx=idx_c[None], rev=rev_c[None], ref_loc=x[None],
+            stale=jnp.zeros((1,), bool), overflow=ovf[None])
+
+    def rebuild(self, st: ShardState) -> ShardState:
+        if not hasattr(self, "_rebuild_fn"):
+            self._rebuild_fn = jax.jit(self._smap(self._rebuild_body))
+        return self._rebuild_fn(st)
+
+    # ---------- force refill (used by distribute / restart) ----------
+    def refill_forces(self, st: ShardState) -> ShardState:
+        if not hasattr(self, "_refill_fn"):
+            def body(s: ShardState) -> ShardState:
+                pe, f, w = self._force_local(
+                    s.x_loc[0], s.halo_l[0], s.halo_r[0], s.box,
+                    s.idx[0], s.rev[0])
+                return s._replace(pe=pe[None], f_loc=f[None],
+                                  virial=jax.lax.psum(w, "dp"))
+            self._refill_fn = jax.jit(self._smap(body))
+        return self._refill_fn(st)
+
+    # ---------- thermostat / barostat pieces (replicated math) ----------
+    def _q_particle(self, dtype):
+        return I.nhc_masses(self.ndof, self.cfg.t_target, self.cfg.tau_t,
+                            self.cfg.nhc_len, dtype)
+
+    def _n_couple(self):
+        return max(1, sum(bool(p) for p in self.cfg.p_couple))
+
+    def _baro_q(self, dtype):
+        return I.nhc_masses(self._n_couple(), self.cfg.t_target,
+                            self.cfg.tau_p, 2, dtype)
+
+    def _global_ke2(self, v):
+        return jax.lax.psum(MVV2E * jnp.sum(self.m * v * v), "dp")
+
+    def _nhc_half(self, v, nhc, dt):
+        scale, nhc = I.nhc_propagate(
+            self._global_ke2(v), nhc, self._q_particle(v.dtype),
+            BOLTZ * self.cfg.t_target, self.ndof, dt)
+        return v * scale, nhc
+
+    def _baro_thermo(self, v_eps, baro_nhc, dt, dtype):
+        cfg = self.cfg
+        couple = jnp.asarray(cfg.p_couple, dtype=dtype)
+        w_mass = I.npt_baro_masses(self.n, cfg.t_target, cfg.tau_p, dtype)
+        ke2 = w_mass * jnp.sum(v_eps * v_eps * couple)
+        scale, bnhc = I.nhc_propagate(ke2, baro_nhc, self._baro_q(dtype),
+                                      BOLTZ * cfg.t_target, self._n_couple(),
+                                      dt)
+        return v_eps * scale, bnhc
+
+    def _baro_half(self, v, v_eps, box, virial, dtype):
+        cfg = self.cfg
+        dt2 = 0.5 * cfg.dt
+        couple = jnp.asarray(cfg.p_couple, dtype=dtype)
+        p_ext = jnp.asarray(cfg.p_target, dtype=dtype) / NKTV2P
+        w_mass = I.npt_baro_masses(self.n, cfg.t_target, cfg.tau_p, dtype)
+        vol = box[0] * box[1] * box[2]
+        kin = jax.lax.psum(MVV2E * jnp.sum(self.m * v * v, axis=0), "dp")
+        p_int = (kin + jnp.diagonal(virial)) / vol
+        ke2 = jnp.sum(kin)
+        n_couple = jnp.maximum(jnp.sum(couple), 1.0)
+        g_eps = (vol * (p_int - p_ext) + (ke2 / self.ndof) * couple
+                 / n_couple) / w_mass
+        v_eps = v_eps + dt2 * g_eps * couple
+        tr = jnp.sum(v_eps * couple)
+        scale = jnp.exp(-dt2 * (v_eps + tr / self.ndof))
+        v = v * jnp.where(couple > 0, scale, 1.0)[None, :]
+        return v, v_eps
+
+    # ---------- one velocity-Verlet step (inside shard_map) ----------
+    def _step_device(self, st: ShardState) -> ShardState:
+        cfg = self.cfg
         dt = cfg.dt
         m = self.m
+        x, v, f = st.x_loc[0], st.v_loc[0], st.f_loc[0]
+        idx, rev, ref = st.idx[0], st.rev[0], st.ref_loc[0]
+        box, virial = st.box, st.virial
+        nhc, v_eps, bnhc = st.nhc, st.v_eps, st.baro_nhc
+        dtype = x.dtype
 
-        if cfg.ensemble == "nvt":
-            ndof = 3 * cfg.c_loc * cfg.n_devices - 3
-            ke2 = jax.lax.psum(MVV2E * jnp.sum(m * v * v), "dp")
-            # global single NH thermostat (chain of 1 across devices)
-            scale = jnp.exp(-0.5 * dt / cfg.tau_t
-                            * (ke2 / (ndof * BOLTZ * cfg.t_target) - 1.0))
-            v = v * scale
+        if cfg.ensemble in ("nvt", "npt"):
+            v, nhc = self._nhc_half(v, nhc, dt)
+        if cfg.ensemble == "npt":
+            v_eps, bnhc = self._baro_thermo(v_eps, bnhc, dt, dtype)
+            v, v_eps = self._baro_half(v, v_eps, box, virial, dtype)
 
         v = v + (0.5 * dt / MVV2E) * f / m
-        x = x + dt * v
+        if cfg.ensemble == "npt":
+            couple = jnp.asarray(cfg.p_couple, dtype=dtype)
+            ex = jnp.where(couple > 0, jnp.exp(dt * v_eps), 1.0)
+            box = box * ex
+            x = x * ex[None, :] + dt * v
+        else:
+            x = x + dt * v
+
         hl, hr = self._halo_refresh(x)
-        pe, f = self._force_local(x, hl, hr, idx, rev)
+        stale = st.stale[0] | self._displacement_exceeds(
+            x, ref, box, 0.4 * cfg.skin)
+        unsafe = st.unsafe[0] | self._displacement_exceeds(
+            x, ref, box, 0.5 * cfg.skin)
+
+        pe, f, w = self._force_local(x, hl, hr, box, idx, rev)
+        virial = jax.lax.psum(w, "dp")
         v = v + (0.5 * dt / MVV2E) * f / m
 
-        if cfg.ensemble == "nvt":
-            ke2 = jax.lax.psum(MVV2E * jnp.sum(m * v * v), "dp")
-            scale = jnp.exp(-0.5 * dt / cfg.tau_t
-                            * (ke2 / (ndof * BOLTZ * cfg.t_target) - 1.0))
-            v = v * scale
-        return (x, v, f, hl, hr, idx, rev, pe, step + 1, stale, ovf)
+        if cfg.ensemble == "npt":
+            v, v_eps = self._baro_half(v, v_eps, box, virial, dtype)
+            v_eps, bnhc = self._baro_thermo(v_eps, bnhc, dt, dtype)
+        if cfg.ensemble in ("nvt", "npt"):
+            v, nhc = self._nhc_half(v, nhc, dt)
 
-    def make_run(self, n_steps: int):
-        """Jitted sharded runner: n_steps with fixed neighbor tables."""
+        return st._replace(
+            x_loc=x[None], v_loc=v[None], f_loc=f[None],
+            halo_l=hl[None], halo_r=hr[None], pe=pe[None],
+            box=box, virial=virial, nhc=nhc, v_eps=v_eps, baro_nhc=bnhc,
+            step=st.step + 1, stale=stale[None], unsafe=unsafe[None])
+
+    # ---------- thermo (inside shard_map; every output replicated) ----------
+    def _thermo_device(self, st: ShardState) -> Thermo:
         cfg = self.cfg
+        v = st.v_loc[0]
+        ke = 0.5 * self._global_ke2(v)
+        temp = 2.0 * ke / (self.ndof * BOLTZ)
+        pe = jax.lax.psum(st.pe[0], "dp")
+        box = st.box
+        vol = box[0] * box[1] * box[2]
+        kin = jax.lax.psum(MVV2E * jnp.sum(self.m * v * v, axis=0), "dp")
+        press = (jnp.sum((kin + jnp.diagonal(st.virial)) / vol) / 3.0) \
+            * NKTV2P
+        conserved = pe + ke
+        if cfg.ensemble in ("nvt", "npt"):
+            conserved = conserved + I.nhc_conserved(
+                st.nhc, self._q_particle(v.dtype), cfg.t_target, self.ndof)
+        if cfg.ensemble == "npt":
+            couple = jnp.asarray(cfg.p_couple, v.dtype)
+            w_mass = I.npt_baro_masses(self.n, cfg.t_target, cfg.tau_p,
+                                       v.dtype)
+            conserved = conserved + 0.5 * w_mass * jnp.sum(
+                st.v_eps * st.v_eps * couple)
+            conserved = conserved + I.nhc_conserved(
+                st.baro_nhc, self._baro_q(v.dtype), cfg.t_target,
+                self._n_couple())
+            p_hydro = (jnp.sum(jnp.asarray(cfg.p_target, v.dtype) * couple)
+                       / self._n_couple()) / NKTV2P
+            conserved = conserved + p_hydro * vol
+        return Thermo(step=st.step, temp=temp, pe=pe, ke=ke, press=press,
+                      vol=vol, conserved=conserved)
 
-        @jax.jit
-        def run(st: ShardState):
-            def dev_fn(x, v, f, hl, hr, idx, rev, pe, step, stale, ovf):
-                leaf = (x[0], v[0], f[0], hl[0], hr[0], idx[0], rev[0],
-                        pe[0], step, stale[0], ovf[0])
+    # ---------- run ----------
+    def make_run(self, n_blocks: int):
+        """Jitted sharded runner: n_blocks x thermo_every steps on FIXED
+        neighbor tables; returns (state, Thermo stacked [n_blocks])."""
+        cfg = self.cfg
+        th_spec = Thermo(*([P()] * 7))
 
-                def body(i, lf):
-                    return self._step_device(lf)
+        def dev_fn(st: ShardState):
+            def block(s, _):
+                s = jax.lax.fori_loop(
+                    0, cfg.thermo_every,
+                    lambda k, ss: self._step_device(ss), s)
+                return s, self._thermo_device(s)
 
-                out = jax.lax.fori_loop(0, n_steps, body, leaf)
-                (x, v, f, hl, hr, idx, rev, pe, step, stale, ovf) = out
-                ke = jax.lax.psum(0.5 * MVV2E * jnp.sum(self.m * v * v), "dp")
-                pe_g = jax.lax.psum(pe, "dp")
-                return (x[None], v[None], f[None], hl[None], hr[None],
-                        idx[None], rev[None], pe_g[None], step, stale[None],
-                        ovf[None], ke[None])
+            return jax.lax.scan(block, st, None, length=n_blocks)
 
-            sh = P("dp")
-            out = jax.shard_map(
-                dev_fn, mesh=self.mesh,
-                in_specs=(sh, sh, sh, sh, sh, sh, sh, sh, P(), sh, sh),
-                out_specs=(sh, sh, sh, sh, sh, sh, sh, sh, P(), sh, sh, sh),
-                check_vma=False,
-            )(st.x_loc, st.v_loc, st.f_loc, st.halo_l, st.halo_r, st.idx,
-              st.rev, st.pe, st.step, st.stale, st.overflow)
-            (x, v, f, hl, hr, idx, rev, pe, step, stale, ovf, ke) = out
-            new = ShardState(x_loc=x, v_loc=v, f_loc=f, halo_l=hl, halo_r=hr,
-                             idx=idx, rev=rev, pe=pe, step=step, stale=stale,
-                             overflow=ovf)
-            return new, ke[0]
+        return jax.jit(self._smap(dev_fn, out_specs=(_state_specs(),
+                                                     th_spec)))
 
-        return run
+    def run(self, st: ShardState, n_blocks: int):
+        """Advance n_blocks x thermo_every steps with in-run neighbor
+        rebuilds at block boundaries (one host bool sync per block) -- the
+        sharded equivalent of md.simulation.Simulator.run."""
+        if not hasattr(self, "_run1"):
+            self._run1 = self.make_run(1)
+        thermos = []
+        self.rebuild_count = 0
+        for _ in range(n_blocks):
+            st, th = self._run1(st)
+            thermos.append(th)
+            if bool(jnp.any(st.stale)):
+                st = self.rebuild(st)
+                self.rebuild_count += 1
+        return st, jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs), *thermos)
 
     # ---------- convenience ----------
     def gather_positions(self, st: ShardState, order):
@@ -288,3 +657,17 @@ class ShardedMD:
         xs = st.x_loc.reshape(-1, 3)
         inv = jnp.argsort(order)
         return xs[inv]
+
+    def redistribute(self, st: ShardState, order):
+        """Re-sort the atom->device assignment (host-level; for diffusive
+        scenes when the rebuild coverage proof starts flagging drift).
+        Thermostat/barostat state carries over; sticky flags are kept."""
+        inv = jnp.argsort(order)
+        x = st.x_loc.reshape(-1, 3)[inv]
+        v = st.v_loc.reshape(-1, 3)[inv]
+        st2, order2 = self.distribute(x, v, box=np.asarray(st.box))
+        st2 = st2._replace(
+            nhc=st.nhc, v_eps=st.v_eps, baro_nhc=st.baro_nhc, step=st.step,
+            unsafe=st2.unsafe | jnp.any(st.unsafe),
+            overflow=st2.overflow | jnp.any(st.overflow))
+        return st2, order2

@@ -168,6 +168,14 @@ def main(argv=None):
     x = jnp.asarray(x_np, jnp.float32)
     box = jnp.asarray(box_np, jnp.float32)
 
+    # ---- neighbor cutoff (ni descriptors vanish at 3.9 A) ----
+    cut = mcfg.cut
+    if model_name == "annp-behler":
+        from .models.annp import effective_cutoff
+        cut = effective_cutoff(pot)
+        log(f"neighbor cutoff {cut:.3f} A (descriptor range; header lists "
+            f"{mcfg.cut})")
+
     # All paths return SHIFT-FREE per-run PE (sum of e_at - e_shift): the
     # per-atom shift is O(-4.5e3 eV), so the shifted total of a 152k-atom
     # scene sits where f32 ULP is ~64 eV and the thermo PE column would
@@ -189,11 +197,28 @@ def main(argv=None):
             return anna_adp.energy_forces_virial(mcfg, params, xx, bb,
                                                  nbrs.idx, elems, shift=False)
     elif ne == 1:
-        # fe/ni XLA path at scale: [C,K]-layout chunked energy with the
+        # fe/ni XLA path at scale: per-eval short-neighbor repack (K drops
+        # from the skin-list capacity to the in-cutoff count -- k_annp_
+        # short_nbor's job), then the [C,K]-layout chunked energy with the
         # strain-derivative virial (bounded memory at any N)
+        from .models.annp import compact_neighbor_rows
+        from .system.neighbors import estimate_capacity
+        k_short = min(args.capacity,
+                      estimate_capacity(box_np, cut, len(x_np),
+                                        headroom=1.4))
+        log(f"short-neighbor repack width {k_short} (list capacity "
+            f"{args.capacity})")
+
         def force_fn(xx, bb, nbrs):
-            return annp.energy_forces_virial_chunked(
-                mcfg, params, xx, bb, nbrs.idx, elems, chunk=512, shift=False)
+            idx_s, ovf = compact_neighbor_rows(xx, bb, nbrs.idx, cut,
+                                               k_short, pbc)
+            e, f, w = annp.energy_forces_virial_chunked(
+                mcfg, params, xx, bb, idx_s, elems, chunk=512, shift=False)
+            # poison on short-list overflow: silently dropped pairs must
+            # never pass (the Pallas path does the same)
+            e = jnp.where(ovf, jnp.nan, e)
+            f = jnp.where(ovf, jnp.nan, f)
+            return e, f, w
     else:
         pe_offset = 0.0
 
@@ -202,12 +227,6 @@ def main(argv=None):
                                              elems)
 
     # ---- simulator ----
-    cut = mcfg.cut
-    if model_name == "annp-behler":
-        from .models.annp import effective_cutoff
-        cut = effective_cutoff(pot)          # ni descriptors vanish at 3.9 A
-        log(f"neighbor cutoff {cut:.3f} A (descriptor range; header lists "
-            f"{mcfg.cut})")
     rlist = cut + args.skin
     # NPT can shrink the box; size the static cell grid with ~8% margin
     dims_box = np.asarray(box_np) * (0.92 if args.ensemble == "npt" else 1.0)

@@ -70,7 +70,8 @@ def parse_lammps_npt_table(text):
             except ValueError:
                 in_table = False
     arr = np.asarray(rows)
-    cols = [h.lower() for h in header]
+    names = {"poteng": "pe", "kineng": "ke", "volume": "vol"}
+    cols = [names.get(h.lower(), h.lower()) for h in header]
     return {c: arr[:, i] for i, c in enumerate(cols)}
 
 
@@ -133,30 +134,36 @@ def main():
                                               want_virial=True, shift=False),
         jnp.full(n, MASS_FE, jnp.float32), cfg)
 
-    # ---- minimize (reference: minimize 1e-6 1e-6 1000 10000 -> 1 CG step,
-    # PE -6.8487629e8 -> -6.8487637e8) ----
+    # ---- minimize. The reference's `minimize 1e-6 1e-6 1000 10000` stops
+    # after ONE CG step (linesearch quits; PE -6.8487629e8 -> -6.8487637e8),
+    # so its NPT run starts from a PARTIALLY minimized scene, and the early
+    # temperature transient (the dip near step 34) depends on how much
+    # relaxation is left. To replay the same experiment we stop FIRE when
+    # our PE reaches the reference's achieved minimum -- matching their
+    # stopping point, not beating it. ----
+    pe_ref_min = float(ref["pe"][0])         # NPT row 0 = post-minimize PE
     t0 = time.time()
-    pe0 = None
-    for outer in range(6):
-        nbrs = sim.build_nbrs(x, box)
-        assert not bool(nbrs.overflow)
+    nbrs = sim.build_nbrs(x, box)
+    assert not bool(nbrs.overflow)
 
-        def ef(xx, bb, idx, _rev=nbrs.rev):
-            e, f = pk.energy_forces(xx, bb, idx, _rev, shift=False)
-            return e, f
+    def ef(xx, bb, nbr):
+        e, f = pk.energy_forces(xx, bb, nbr[0], nbr[1], shift=False)
+        return e, f
 
-        st = fire_minimize(ef, x, box, nbrs.idx, f_tol=args.fire_ftol,
-                           max_iter=args.fire_max_iter, dt0=5e-4, dt_max=5e-3)
+    st = None
+    for outer in range(args.fire_max_iter // 5):
+        st = fire_minimize(ef, x, box, (nbrs.idx, nbrs.rev),
+                           f_tol=args.fire_ftol, max_iter=5,
+                           dt0=5e-4, dt_max=5e-3, block=5)
         x = st.x
-        if pe0 is None:
-            pe0 = float(st.pe) + pe_off
-        log(f"  fire outer {outer}: fmax={float(st.fmax):.3e} "
-            f"pe={float(st.pe) + pe_off:.8e} iters={int(st.n_iter)}")
-        if float(st.fmax) <= args.fire_ftol:
+        pe_now = float(st.pe) + pe_off
+        log(f"  fire {5 * (outer + 1):3d} iters: fmax={float(st.fmax):.3e} "
+            f"pe={pe_now:.9e}")
+        if pe_now <= pe_ref_min or float(st.fmax) <= args.fire_ftol:
             break
     pe_min = float(st.pe) + pe_off
     log(f"minimize: {time.time() - t0:.0f}s  PE {pe_min:.8e} eV "
-        f"(reference min PE {-6.8487637e+08:.7e})")
+        f"(reference stopped at {pe_ref_min:.8e})")
 
     # ---- NPT ----
     st = sim.init_state(x, box, seed=4928459, t_init=300.0)

@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""Scale demonstrations on one TPU chip (BASELINE.json configs 3 and 5).
+
+  --config 500k : bcc-Fe 500k-atom NPT thermal-expansion run (config 3) --
+                  63^3 bcc cells (500,094 atoms), fe_v2 potential, NPT 300 K
+                  isotropic 0 bar, measured post-warmup.
+  --config 2m   : 2M-atom single-chip NVE (the north-star scale; config 5's
+                  scene) -- a symmetric-tilt grain-boundary bicrystal from
+                  the STGB generator, ~2.0M atoms, NVE at 300 K. Memory
+                  budget: capacity 192 at skin 0.8 keeps idx+rev at 3.1 GB
+                  and the K=128 repacked force arrays within v5e's 16 GB.
+
+Writes artifacts/scale_<config>.json with the measured atom-steps/s.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FE_ANN = "/root/reference/annp-gpu-lammps/fe/fe_annp_potential_2.ann"
+ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "artifacts")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", choices=("500k", "2m"), required=True)
+    ap.add_argument("--steps", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/mzt_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import numpy as np
+    from meng_zhang_tpu.io.potential import read_ann
+    from meng_zhang_tpu.md.simulation import MDConfig, Simulator
+    from meng_zhang_tpu.models.annp import make_annp
+    from meng_zhang_tpu.ops.pallas_annp import PallasAnnp
+    from meng_zhang_tpu.system.neighbors import cell_grid_dims
+    from meng_zhang_tpu.units import MASS_FE
+
+    if args.config == "500k":
+        from meng_zhang_tpu.geometry.lattice import bcc
+        x_np, box_np = bcc([63, 63, 63])                 # 500,094 atoms
+        ensemble, couple = "npt", (True, True, True)     # thermal expansion
+        skin, capacity, cell_cap = 1.2, 256, 96
+        steps = args.steps or 200
+        thermo = 10
+        label = "bcc-Fe 500,094-atom NPT 300K (thermal expansion, config 3)"
+    else:
+        from meng_zhang_tpu.geometry.stgb import make_stgb
+        log("building 2M-atom STGB bicrystal...")
+        d = make_stgb(length_box=(208.0, 294.0, 192.0), delete_overlap=1.2)
+        x_np, box_np = d.x, d.box
+        ensemble, couple = "nve", (False,) * 3
+        skin, capacity, cell_cap = 0.8, 192, 96
+        steps = args.steps or 100
+        thermo = 10
+        label = f"STGB bcc-Fe {len(x_np):,}-atom NVE 300K (config 5 scene)"
+
+    n = len(x_np)
+    log(f"{label}: {n} atoms, box {np.round(box_np, 1)}")
+    pot = read_ann(FE_ANN)
+    mcfg, params = make_annp(pot)
+    pk = PallasAnnp(mcfg, params)
+
+    def force_fn(xx, bb, nbrs):
+        return pk.energy_forces(xx, bb, nbrs.idx, nbrs.rev, want_virial=True,
+                                shift=False)
+
+    rlist = mcfg.cut + skin
+    dims_box = np.asarray(box_np) * (0.95 if ensemble == "npt" else 1.0)
+    dims = cell_grid_dims(dims_box, rlist)
+    cfg = MDConfig(dt=0.001, cutoff=mcfg.cut, skin=skin, capacity=capacity,
+                   nbr_method="cell", cell_dims=dims, cell_capacity=cell_cap,
+                   ensemble=ensemble, t_target=300.0, tau_t=0.1,
+                   p_target=(0.0,) * 3, p_couple=couple, tau_p=1.0,
+                   thermo_every=thermo, with_rev=True)
+    sim = Simulator(force_fn, jnp.full(n, MASS_FE, jnp.float32), cfg)
+    x = jnp.asarray(x_np, jnp.float32)
+    box = jnp.asarray(box_np, jnp.float32)
+
+    t0 = time.time()
+    st = sim.init_state(x, box, seed=4928459, t_init=300.0)
+    jax.block_until_ready(st.f)
+    log(f"init: {time.time() - t0:.1f}s overflow={bool(st.overflow)}")
+    assert not bool(st.overflow), "neighbor/cell capacity overflow"
+    t0 = time.time()
+    st, th = sim.run(st, 2)                  # warmup (includes compiles)
+    jax.block_until_ready(th)
+    log(f"warmup: {time.time() - t0:.1f}s T={float(th.temp[-1]):.1f}")
+
+    n_blocks = steps // thermo
+    t0 = time.time()
+    st, th = sim.run(st, n_blocks)
+    jax.block_until_ready(th)
+    wall = time.time() - t0
+    aps = n * n_blocks * thermo / wall
+    pe_off = n * mcfg.e_shift
+    log(f"{n_blocks * thermo} steps in {wall:.1f}s -> {aps:,.0f} atom-steps/s"
+        f"  T={float(th.temp[-1]):.1f}K P={float(th.press[-1]):.0f} bar"
+        f"  PE={float(th.pe[-1]) + pe_off:.6e} eV"
+        f"  rebuilds={sim.rebuild_count} overflow={bool(st.overflow)}"
+        f" unsafe={bool(st.unsafe)}")
+    assert not bool(st.overflow)
+
+    out = {
+        "config": args.config, "label": label, "atoms": n,
+        "steps": n_blocks * thermo, "wall_s": round(wall, 2),
+        "atom_steps_per_s": round(aps, 1),
+        "temp_K": float(th.temp[-1]), "press_bar": float(th.press[-1]),
+        "pe_eV": float(th.pe[-1]) + pe_off,
+        "vol_A3": float(th.vol[-1]),
+        "rebuilds": sim.rebuild_count,
+        "unsafe": bool(st.unsafe),
+        "device": str(jax.devices()[0]),
+    }
+    os.makedirs(ART, exist_ok=True)
+    path = os.path.join(ART, f"scale_{args.config}.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    log(f"wrote {path}")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -167,6 +167,32 @@ def test_ni_chunked_virial_matches_vmap(ni_pot):
                                rtol=1e-8, atol=1e-9)
 
 
+def test_compact_neighbor_rows_exact(fe_pot, fe_setup):
+    """Per-eval short-neighbor repack preserves energy/forces/virial exactly
+    (in-cutoff membership is exact at the eval positions; fc -> 0 at rc)."""
+    from meng_zhang_tpu.models.annp import (compact_neighbor_rows,
+                                            energy_forces_virial_chunked)
+    cfg, params, x, box, nbrs = fe_setup
+    # skin-padded list (rlist > rc), as production runs carry
+    nb2 = build_neighbors_n2(x, box, cfg.cut + 1.2, 96)
+    idx_s, ovf = compact_neighbor_rows(x, box, nb2.idx, cfg.cut, 64,
+                                       cfg.pbc, row_chunk=32)
+    assert not bool(ovf)
+    e_ref, f_ref, w_ref = energy_forces_virial_chunked(cfg, params, x, box,
+                                                       nb2.idx, chunk=16)
+    e_s, f_s, w_s = energy_forces_virial_chunked(cfg, params, x, box,
+                                                 idx_s, chunk=16)
+    np.testing.assert_allclose(float(e_s), float(e_ref), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(f_s), np.asarray(f_ref),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(w_s), np.asarray(w_ref),
+                               rtol=1e-10, atol=1e-10)
+    # width-2 compaction must flag overflow
+    _, ovf2 = compact_neighbor_rows(x, box, nb2.idx, cfg.cut, 2, cfg.pbc,
+                                    row_chunk=32)
+    assert bool(ovf2)
+
+
 def test_ni_energy_chunked_matches_vmap(ni_pot):
     """The [C,K]-layout Behler path must match the vmap oracle path."""
     from meng_zhang_tpu.models.annp import energy_chunked, energy_forces_chunked
