@@ -369,8 +369,18 @@ def compact_neighbor_rows(x, box, idx, rc, k_short, pbc=(True, True, True),
     return idx_short, overflow
 
 
+def descriptor_cutoff(cfg: AnnpConfig, params) -> float:
+    """The radius beyond which the descriptors vanish (Angstrom): cfg.cut
+    for Chebyshev; the coefficient-table Rc (Bohr -> A) for Behler."""
+    if cfg.descriptor == SYM_CHEBYSHEV:
+        return cfg.cut
+    rc_bohr = max(float(np.max(np.asarray(params["coerad"])[:, 2])),
+                  float(np.max(np.asarray(params["coeang"])[:, 3])))
+    return min(cfg.cut, rc_bohr / CFLENGTH)
+
+
 def energy_forces_virial_frame(cfg: AnnpConfig, params, x_src, box, idx,
-                               off, vslice, chunk=512):
+                               off, vslice, chunk=512, k_short=None):
     """Sharded-frame evaluation via the chunked [C,K] paths (fe AND ni).
 
     The newton-off halo formulation: center rows (local atoms + an
@@ -392,6 +402,27 @@ def energy_forces_virial_frame(cfg: AnnpConfig, params, x_src, box, idx,
     cfg0 = dataclasses.replace(cfg, e_shift=0.0)
     chunk_fn = (_chunk_energy_cheb if cfg.descriptor == SYM_CHEBYSHEV
                 else _chunk_energy_behler)
+    poison = None
+    if k_short is not None and k_short < idx.shape[1]:
+        # per-eval short repack (k_annp_short_nbor): membership computed at
+        # the CURRENT positions outside the grad (index selection is
+        # piecewise constant in x; fc -> 0 at the cutoff boundary)
+        from ..system.neighbors import _compact_rows
+        rc = descriptor_cutoff(cfg, params)
+        xs = jax.lax.stop_gradient(x_src)
+        xc0 = xs[off: off + cc]
+        n_src = x_src.shape[0]
+        xp = [jnp.concatenate([xs[:, d], jnp.zeros((1,), xs.dtype)])
+              for d in range(3)]
+        rsq = jnp.zeros(idx.shape, xs.dtype)
+        for d in range(3):
+            dd = xc0[:, d][:, None] - xp[d][idx]
+            if cfg.pbc[d]:
+                dd = dd - box[d] * jnp.round(dd / box[d])
+            rsq = rsq + dd * dd
+        within = (idx < n_src) & (rsq < rc * rc)
+        idx, counts = _compact_rows(within, idx, k_short, n_src)
+        poison = jnp.any(counts > k_short)
     cc_pad = -(-cc // chunk) * chunk
     idx_p = _pad_rows(idx, cc_pad - cc, x_src.shape[0])
     loc = ((jnp.arange(cc_pad) >= lo) & (jnp.arange(cc_pad) < hi))
@@ -427,7 +458,12 @@ def energy_forces_virial_frame(cfg: AnnpConfig, params, x_src, box, idx,
         f, argnums=(0, 1), has_aux=True)(x_src, eps0)
     w = -0.5 * (g_eps + g_eps.T)
     f_cc = -g_x[off: off + cc]
-    return eat + cfg.e_shift, f_cc, w
+    eat = eat + cfg.e_shift
+    if poison is not None:
+        # short-list overflow: silently dropped pairs must never pass
+        eat = jnp.where(poison, jnp.nan, eat)
+        f_cc = jnp.where(poison, jnp.nan, f_cc)
+    return eat, f_cc, w
 
 
 def energy_chunked(cfg: AnnpConfig, params, x, box, nbr_idx, elems=None,

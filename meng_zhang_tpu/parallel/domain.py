@@ -156,18 +156,19 @@ class XlaFrameModel:
     potential, which has no fused Pallas kernel."""
     with_rev = False
 
-    def __init__(self, mcfg, params, chunk=512):
+    def __init__(self, mcfg, params, chunk=512, k_short=None):
         from ..models import annp
         self._m = annp
         self.mcfg = mcfg
         self.params = params
         self.chunk = chunk
+        self.k_short = k_short
         self.e_shift = mcfg.e_shift
 
     def eval(self, xc, x_ext, box, idx, rev, off, vslice, want_virial):
         return self._m.energy_forces_virial_frame(
             self.mcfg, self.params, x_ext, box, idx, off, vslice,
-            chunk=self.chunk)
+            chunk=self.chunk, k_short=self.k_short)
 
 
 class AnnaFrameModel:

@@ -57,11 +57,15 @@ def main():
     pot = read_ann(FE_ANN)
     mcfg, params = make_annp(pot)
     D = args.devices
+    k_short = 128
 
     if args.scene == "small":
-        cells, steps = [25, 5, 5], args.steps or 1000
-        halo_b, capacity, skin = 280, 160, 0.6
+        # bcc 40x4x4 = 1280 atoms; 11.2 atoms/A of x, rlist = 7.1 A ->
+        # bc >= 80 rows; 4 devices so c_loc = 320 >= halo_b = 192
+        cells, steps = [40, 4, 4], args.steps or 1000
+        halo_b, capacity, skin = 192, 160, 0.6
         chunk = 128
+        D = min(D, 4)
     else:
         cells, steps = [125, 20, 20], args.steps or 30
         # 280 atoms/A of x; rlist = 7.1 A -> bc >= 1990 rows
@@ -79,7 +83,7 @@ def main():
     v0 = create_velocities(jax.random.PRNGKey(4928459), masses, 300.0,
                            jnp.float32)
 
-    model = XlaFrameModel(mcfg, params, chunk=chunk)
+    model = XlaFrameModel(mcfg, params, chunk=chunk, k_short=k_short)
     scfg = ShardConfig(
         n_devices=D, c_loc=n // D, halo_b=halo_b, capacity=capacity,
         cutoff=mcfg.cut, skin=skin, dt=0.001, ensemble="npt",
@@ -131,12 +135,17 @@ def main():
                         tau_t=0.1, p_target=(0.0,) * 3,
                         p_couple=(True, True, True), tau_p=1.0,
                         thermo_every=thermo)
-        from meng_zhang_tpu.models.annp import energy_forces_virial_chunked
+        from meng_zhang_tpu.models.annp import (compact_neighbor_rows,
+                                                energy_forces_virial_chunked)
 
         def force_fn(xx, bb, nbrs):
-            return energy_forces_virial_chunked(mcfg, params, xx, bb,
-                                                nbrs.idx, chunk=chunk,
-                                                shift=False)
+            idx_s, ovf = compact_neighbor_rows(xx, bb, nbrs.idx, mcfg.cut,
+                                               k_short)
+            e, f, w = energy_forces_virial_chunked(mcfg, params, xx, bb,
+                                                   idx_s, chunk=chunk,
+                                                   shift=False)
+            return (jnp.where(ovf, jnp.nan, e), jnp.where(ovf, jnp.nan, f),
+                    w)
 
         sim = Simulator(force_fn, masses, cfg1)
         st1 = sim.init_state(x, box, v=v0, seed=1)

@@ -1,0 +1,71 @@
+"""Golden-log trajectory regression (SURVEY.md section 4.2).
+
+The reference validated its fe_v2 rewrite by comparing two full LAMMPS
+thermo traces of the same experiment: minimize + 1000-step NPT at 300 K on
+the 152,880-atom `in.st_test` scene (`performance test.zip` ->
+log_relaxing_{old,new}.lammps). scripts/golden_log.py replays that
+experiment on this engine on the real TPU and commits the result to
+artifacts/golden_log.json; this test asserts the committed comparison
+stays within cross-engine tolerances.
+
+Identical 7-digit traces are a same-binary property (the reference logs
+share RNG stream and arithmetic order); across engines the macroscopic
+relaxation is the reproducible object: the temperature dip to ~50 K near
+step 34, the recovery to ~263 K at step 1000, the y-box contraction, and
+the potential-energy curve, all self-averaged over 152,880 atoms.
+"""
+import json
+import os
+
+import numpy as np
+
+ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "artifacts", "golden_log.json")
+
+
+def _load():
+    assert os.path.exists(ART), (
+        "artifacts/golden_log.json missing -- run scripts/golden_log.py on "
+        "the TPU to regenerate it")
+    with open(ART) as fh:
+        return json.load(fh)
+
+
+def test_golden_log_temperature_trace():
+    d = _load()
+    dev = d["deviation"]
+    # the T(t) relaxation (300 -> ~50 K dip -> 263 K) reproduces within a
+    # few kelvin everywhere; 1000-step endpoint within the ensemble noise
+    assert dev["temp_rms"] < 5.0
+    assert dev["temp_max_abs"] < 15.0
+    assert abs(dev["temp_final_ours"] - dev["temp_final_ref"]) < 5.0
+    assert abs(dev["temp_min_ours"] - dev["temp_min_ref"]) < 20.0
+
+
+def test_golden_log_energy_and_box():
+    d = _load()
+    dev = d["deviation"]
+    assert dev["pe_max_rel"] < 1e-6          # ~5e-4 eV/atom in practice
+    assert dev["pe_per_atom_max_abs"] < 5e-3
+    assert dev["ly_max_rel"] < 0.01          # y-barostat contraction track
+    # our minimize stops at the reference's achieved minimum (see script)
+    assert abs(dev["pe_minimized_ours"] - dev["pe_minimized_ref"]) \
+        < 5e-6 * abs(dev["pe_minimized_ref"])
+
+
+def test_golden_log_pressure_equilibrium():
+    """Instantaneous pressure is the noisiest observable (virial
+    fluctuations are O(1000 bar) step to step); compare windowed means."""
+    d = _load()
+    ours = np.asarray(d["engine_trace"]["press"])
+    ref = np.asarray(d["reference_trace"]["press"])
+    # late-run (equilibrating) windowed means agree to a few hundred bar
+    assert abs(np.mean(ours[-20:]) - np.mean(ref[-20:])) < 1500.0
+    # the initial strongly-negative pressure transient reproduces
+    assert abs(np.mean(ours[:10]) - np.mean(ref[:10])) < 3000.0
+
+
+def test_golden_log_run_metadata():
+    d = _load()
+    assert d["steps"] >= 1000
+    assert len(d["engine_trace"]["temp"]) == d["steps"] // d["thermo_every"] + 1
