@@ -78,6 +78,11 @@ class MDConfig:
     thermo_every: int = 10
     with_rev: bool = False          # build reverse-slot maps (Pallas force path)
     pbc: tuple = (True, True, True)
+    stale_factor: float = 0.8       # flag staleness at stale_factor*skin/2
+                                    # displacement; the (1-f)*skin/2 margin
+                                    # must absorb the drift until the next
+                                    # block-boundary rebuild -- lower it for
+                                    # hot scenes or large thermo_every
 
 
 def create_velocities(key, masses, t_target, dtype=jnp.float32):
@@ -115,6 +120,14 @@ class Simulator:
                                       with_rev=c.with_rev, pbc=c.pbc)
         dims = c.cell_dims
         assert dims is not None, "cell_dims required for cell neighbor method"
+        if c.nbr_method == "rowsweep":
+            # leaner peak memory than the cell-blocked build: no
+            # [ncell, cell_cap, K] intermediate (which is ~2.8x the per-atom
+            # table when cells run half-empty) -- the right choice at 2M atoms
+            from ..system.neighbors import build_neighbors_cell_rowsweep
+            return build_neighbors_cell_rowsweep(
+                x, box, rlist, c.capacity, dims, c.cell_capacity,
+                with_rev=c.with_rev, pbc=c.pbc)
         return build_neighbors_cell(x, box, rlist, c.capacity, dims,
                                     c.cell_capacity, with_rev=c.with_rev,
                                     pbc=c.pbc)
@@ -160,8 +173,9 @@ class Simulator:
         # is still in use, latch `unsafe` -- the sticky equivalent of a
         # LAMMPS "dangerous build" (pairs may have been silently missed).
         nbrs = s.nbrs
-        stale = s.stale | needs_rebuild(nbrs, x, box, 0.8 * self.cfg.skin,
-                                        self.cfg.pbc)
+        stale = s.stale | needs_rebuild(
+            nbrs, x, box, self.cfg.stale_factor * self.cfg.skin,
+            self.cfg.pbc)
         unsafe = s.unsafe | needs_rebuild(nbrs, x, box, self.cfg.skin,
                                           self.cfg.pbc)
         pe, f, w = self._eval_force(x, box, nbrs)

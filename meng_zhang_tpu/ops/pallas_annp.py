@@ -531,6 +531,10 @@ class PallasAnnp:
 
     def __init__(self, cfg, params, k_short=128, angular="harmonic"):
         self.k_short = k_short
+        # memory-lean sort thresholds (elements); tests override to force
+        # the blocked paths at small sizes
+        self.repack_sort_elems = 1 << 26
+        self.assemble_sort_elems = 1 << 27
         self.angular = angular
         self.npsf, self.ntsf = cfg.npsf, cfg.ntsf
         if angular == "harmonic":
@@ -769,12 +773,40 @@ class PallasAnnp:
         # pack (partner row, partner original slot) into one int32 payload:
         # idx < 2^18 rows, rev <= 256 -> 9 bits
         packed = jnp.minimum(idx, n) * 512 + jnp.minimum(rev, k)
-        # stable partition: in-cutoff entries first, original order kept
+        # stable partition: in-cutoff entries first, original order kept.
+        # Rows are independent (dimension=1), so at production sizes the
+        # 5-operand sort runs in row blocks: the un-blocked transient is
+        # 2 x 5 x [P, K] floats (~11 GB at 1.5M atoms x K=192 -- OOM).
         key = 1 - mask.astype(jnp.int32)
-        _, dxx, dxy, dxz, packed = jax.lax.sort(
-            (key, dxx, dxy, dxz, packed), dimension=1, num_keys=1)
         sl = slice(None, ks)
-        dxx, dxy, dxz, packed = dxx[:, sl], dxy[:, sl], dxz[:, sl], packed[:, sl]
+        if p * k <= self.repack_sort_elems:
+            _, dxx, dxy, dxz, packed = jax.lax.sort(
+                (key, dxx, dxy, dxz, packed), dimension=1, num_keys=1)
+            dxx, dxy, dxz, packed = (dxx[:, sl], dxy[:, sl], dxz[:, sl],
+                                     packed[:, sl])
+        else:
+            blk = max(8, self.repack_sort_elems // k // 8 * 8)
+            nb = -(-p // blk)
+            pp = nb * blk
+
+            def padb(a, fill):
+                return jnp.concatenate(
+                    [a, jnp.full((pp - p, k), fill, a.dtype)]) \
+                    if pp != p else a
+
+            args = tuple(padb(a, f).reshape(nb, blk, k) for a, f in
+                         ((key, 1), (dxx, 0.0), (dxy, 0.0), (dxz, 0.0),
+                          (packed, 0)))
+
+            def blk_fn(ops):
+                kk, ax, ay, az, pk_ = ops
+                _, ax, ay, az, pk_ = jax.lax.sort(
+                    (kk, ax, ay, az, pk_), dimension=1, num_keys=1)
+                return ax[:, sl], ay[:, sl], az[:, sl], pk_[:, sl]
+
+            dxx, dxy, dxz, packed = jax.lax.map(blk_fn, args)
+            dxx, dxy, dxz, packed = (
+                a.reshape(pp, ks)[:p] for a in (dxx, dxy, dxz, packed))
         lane = jax.lax.broadcasted_iota(jnp.int32, (p, ks), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (p, ks), 0)
         ok = lane < counts[:, None]
@@ -789,9 +821,17 @@ class PallasAnnp:
         """F_a = -sum_s Fj[a,s] + sum(partner contributions) via ONE banded
         sort (see _short_repack for the key construction)."""
         p = fjx.shape[0]
-        _, px, py, pz = jax.lax.sort(
-            (akey.reshape(-1), fjx.reshape(-1), fjy.reshape(-1),
-             fjz.reshape(-1)), num_keys=1)
+        if p * ks <= self.assemble_sort_elems:
+            _, px, py, pz = jax.lax.sort(
+                (akey.reshape(-1), fjx.reshape(-1), fjy.reshape(-1),
+                 fjz.reshape(-1)), num_keys=1)
+        else:
+            # memory-lean: the 4-operand global sort doubles ~12 GB of
+            # operands at 2M atoms; three 2-operand sorts halve the peak
+            ak = akey.reshape(-1)
+            px = jax.lax.sort((ak, fjx.reshape(-1)), num_keys=1)[1]
+            py = jax.lax.sort((ak, fjy.reshape(-1)), num_keys=1)[1]
+            pz = jax.lax.sort((ak, fjz.reshape(-1)), num_keys=1)[1]
         f = []
         for fj, part in zip((fjx, fjy, fjz), (px, py, pz)):
             own = -jnp.sum(fj[:n], axis=1)

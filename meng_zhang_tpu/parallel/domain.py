@@ -115,6 +115,10 @@ class ShardConfig:
     pbc: tuple = (True, True, True)
     cell_capacity: int = 64
     nbr_method: str = "auto"       # "auto" | "cell" | "n2"
+    stale_factor: float = 0.8      # flag staleness at stale_factor*skin/2;
+                                   # the remaining margin absorbs drift until
+                                   # the block-boundary rebuild (lower for
+                                   # hot scenes / large thermo_every)
 
     @property
     def bc(self) -> int:          # center-row extension per side
@@ -565,7 +569,7 @@ class ShardedMD:
 
         hl, hr = self._halo_refresh(x)
         stale = st.stale[0] | self._displacement_exceeds(
-            x, ref, box, 0.4 * cfg.skin)
+            x, ref, box, 0.5 * cfg.stale_factor * cfg.skin)
         unsafe = st.unsafe[0] | self._displacement_exceeds(
             x, ref, box, 0.5 * cfg.skin)
 

@@ -33,6 +33,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", choices=("500k", "2m"), required=True)
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--size-scale", type=float, default=1.0,
+                    help="2m scene linear scale factor")
     args = ap.parse_args()
 
     import jax
@@ -56,17 +58,19 @@ def main():
         ensemble, couple = "npt", (True, True, True)     # thermal expansion
         skin, capacity, cell_cap = 1.2, 256, 96
         steps = args.steps or 200
-        thermo = 10
+        thermo = 5
         label = "bcc-Fe 500,094-atom NPT 300K (thermal expansion, config 3)"
     else:
         from meng_zhang_tpu.geometry.stgb import make_stgb
         log("building 2M-atom STGB bicrystal...")
-        d = make_stgb(length_box=(208.0, 294.0, 192.0), delete_overlap=1.2)
+        f = args.size_scale
+        d = make_stgb(length_box=(230.0 * f, 325.0 * f, 212.0 * f),
+                      delete_overlap=1.2)
         x_np, box_np = d.x, d.box
         ensemble, couple = "nve", (False,) * 3
-        skin, capacity, cell_cap = 0.8, 192, 96
+        skin, capacity, cell_cap = 0.8, 192, 64
         steps = args.steps or 100
-        thermo = 10
+        thermo = 5
         label = f"STGB bcc-Fe {len(x_np):,}-atom NVE 300K (config 5 scene)"
 
     n = len(x_np)
@@ -74,19 +78,28 @@ def main():
     pot = read_ann(FE_ANN)
     mcfg, params = make_annp(pot)
     pk = PallasAnnp(mcfg, params)
+    want_virial = ensemble == "npt"     # at 2M atoms the virial tally keeps
+                                        # the [N,K] dx planes alive through
+                                        # force assembly (~3 GB extra peak)
 
     def force_fn(xx, bb, nbrs):
-        return pk.energy_forces(xx, bb, nbrs.idx, nbrs.rev, want_virial=True,
-                                shift=False)
+        out = pk.energy_forces(xx, bb, nbrs.idx, nbrs.rev,
+                               want_virial=want_virial, shift=False)
+        if want_virial:
+            return out
+        e, f = out
+        return e, f, jnp.zeros((3, 3), xx.dtype)
 
     rlist = mcfg.cut + skin
     dims_box = np.asarray(box_np) * (0.95 if ensemble == "npt" else 1.0)
     dims = cell_grid_dims(dims_box, rlist)
     cfg = MDConfig(dt=0.001, cutoff=mcfg.cut, skin=skin, capacity=capacity,
-                   nbr_method="cell", cell_dims=dims, cell_capacity=cell_cap,
+                   nbr_method="cell",   # rowsweep faults the TPU worker >1.2M atoms
+                   cell_dims=dims, cell_capacity=cell_cap,
                    ensemble=ensemble, t_target=300.0, tau_t=0.1,
                    p_target=(0.0,) * 3, p_couple=couple, tau_p=1.0,
-                   thermo_every=thermo, with_rev=True)
+                   thermo_every=thermo, with_rev=True,
+                   stale_factor=0.5)
     sim = Simulator(force_fn, jnp.full(n, MASS_FE, jnp.float32), cfg)
     x = jnp.asarray(x_np, jnp.float32)
     box = jnp.asarray(box_np, jnp.float32)

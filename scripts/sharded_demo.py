@@ -60,20 +60,21 @@ def main():
     k_short = 128
 
     if args.scene == "small":
-        # bcc 40x4x4 = 1280 atoms; 11.2 atoms/A of x, rlist = 7.1 A ->
-        # bc >= 80 rows; 4 devices so c_loc = 320 >= halo_b = 192
-        cells, steps = [40, 4, 4], args.steps or 1000
-        halo_b, capacity, skin = 192, 160, 0.6
+        # bcc 40x5x5 = 2000 atoms (y,z = 14.28 A >= 2*rlist for the
+        # single-image convention); 17.5 atoms/A of x, rlist = 7.3 A ->
+        # bc >= 128 rows; 4 devices so c_loc = 500 >= halo_b = 288
+        cells, steps = [40, 5, 5], args.steps or 1000
+        halo_b, capacity, skin = 288, 176, 0.8
         chunk = 128
         D = min(D, 4)
     else:
         cells, steps = [125, 20, 20], args.steps or 30
-        # 280 atoms/A of x; rlist = 7.1 A -> bc >= 1990 rows
-        halo_b, capacity, skin = 4608, 160, 0.6
+        # 280 atoms/A of x; rlist = 7.3 A -> bc >= 2050 rows
+        halo_b, capacity, skin = 4608, 176, 0.8
         chunk = 512
     x_np, box_np = bcc(cells)
     n = len(x_np)
-    thermo = 10
+    thermo = 5
     log(f"scene: {n} atoms, box {np.round(box_np, 1)}, {D} devices, "
         f"{steps} NPT steps")
 
@@ -88,7 +89,8 @@ def main():
         n_devices=D, c_loc=n // D, halo_b=halo_b, capacity=capacity,
         cutoff=mcfg.cut, skin=skin, dt=0.001, ensemble="npt",
         t_target=300.0, tau_t=0.1, p_target=(0.0,) * 3,
-        p_couple=(True, True, True), tau_p=1.0, thermo_every=thermo)
+        p_couple=(True, True, True), tau_p=1.0, thermo_every=thermo,
+        stale_factor=0.5)
     md = ShardedMD(model, MASS_FE, box, scfg)
     t0 = time.time()
     st, order = md.distribute(x, v0)
@@ -134,7 +136,7 @@ def main():
                         nbr_method="n2", ensemble="npt", t_target=300.0,
                         tau_t=0.1, p_target=(0.0,) * 3,
                         p_couple=(True, True, True), tau_p=1.0,
-                        thermo_every=thermo)
+                        thermo_every=thermo, stale_factor=0.5)
         from meng_zhang_tpu.models.annp import (compact_neighbor_rows,
                                                 energy_forces_virial_chunked)
 
