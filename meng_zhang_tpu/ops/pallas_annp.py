@@ -531,9 +531,8 @@ class PallasAnnp:
 
     def __init__(self, cfg, params, k_short=128, angular="harmonic"):
         self.k_short = k_short
-        # memory-lean sort thresholds (elements); tests override to force
-        # the blocked paths at small sizes
-        self.repack_sort_elems = 1 << 26
+        # memory-lean assembly threshold (elements); tests override to
+        # force the per-component sorts at small sizes
         self.assemble_sort_elems = 1 << 27
         self.angular = angular
         self.npsf, self.ntsf = cfg.npsf, cfg.ntsf
@@ -736,90 +735,95 @@ class PallasAnnp:
         w = 0.5 * (w + w.T)
         return eat[:cc], jnp.stack(f, axis=1), w
 
-    def _short_repack(self, dxx, dxy, dxz, nbr_idx, rev_slots, n):
-        """Compact every neighbor row to its in-cutoff entries (stable),
-        sliced to k_short columns.
+    def _pair_dx_repacked(self, x, box, nbr_idx, rev_slots,
+                          row_chunk=4096):
+        """Fused chunked displacement gather + short-neighbor repack.
 
-        Returns (dxx, dxy, dxz [P, Ks], akey [P, Ks], ok [P, Ks], overflow).
+        The TPU equivalent of k_annp_short_nbor (fe/lib/lal_annp.cu:267-344):
+        each skin-list row is compacted to its in-cutoff prefix by a stable
+        row sort, sliced to k_short columns. Fused into the row-chunked
+        gather so the full-width [N, K] displacement planes NEVER
+        materialize -- at 2M atoms x K=192 the unfused flow held ~9 GB of
+        sort operands, beyond the device budget.
 
-        `akey` is the force-assembly sort key, built so ONE variadic sort
-        delivers every pair contribution to its partner's compacted slot
-        with no reverse-rank bookkeeping. Key bands: row j owns
-        [j*2K, (j+1)*2K). A real pair entry (i, s) whose partner sits at
-        original slot t = rev[i, s] of row j gets key j*2K + t (t < K);
-        filler lanes of row i (lane >= count_i) get i*2K + K + lane. Each
-        band then holds exactly count_j real keys (one per in-cutoff
-        neighbor of j -- the cutoff test is symmetric) plus Ks - count_j
-        fillers, so band j occupies output rows [j*Ks, (j+1)*Ks); within the
-        band, real keys sort by t, which is precisely the stable-compaction
-        lane order of row j. A key set built this way is a permutation
-        delivery without ever materializing ranks. int32 keys cap N at
-        2^31 / 2K (~4.2M atoms at K=256).
+        Returns (dxx, dxy, dxz [P, Ks], akey, ok, overflow); P = rows padded
+        to TILE. `akey` is the force-assembly delivery key: row j owns key
+        band [j*2K, (j+1)*2K). A real pair entry (i, s) whose partner sits
+        at original slot t = rev[i, s] of row j gets key j*2K + t; filler
+        lanes of row i get i*2K + K + lane. Band j then holds exactly
+        count_j real keys (the cutoff test is symmetric) ordered by t --
+        the stable-compaction lane order of row j -- so ONE sort by akey
+        delivers every pair contribution to its partner\'s compacted slot
+        (see _assemble). int32 keys cap N at 2^31 / 2K (~4.2M at K=256).
         """
-        p, k = dxx.shape          # rows padded to TILE
+        n = x.shape[0]
+        k = nbr_idx.shape[1]
         ks = self.k_short
         rc = dict(self.cfg_key)["rc"]
         assert k <= 512, "int32 (row, slot) packing assumes capacity <= 512"
-        idx = nbr_idx
-        rev = rev_slots
-        if idx.shape[0] != p:
-            pad = p - idx.shape[0]
-            idx = jnp.concatenate([idx, jnp.full((pad, k), n, jnp.int32)])
-            rev = jnp.concatenate([rev, jnp.full((pad, k), k, jnp.int32)])
-        rsq = dxx * dxx + dxy * dxy + dxz * dxz
-        mask = (idx < n) & (rsq < rc * rc) & (rsq > 1.0e-12)
-        counts = jnp.sum(mask.astype(jnp.int32), axis=1)
-        overflow = jnp.any(counts > ks)
-        # pack (partner row, partner original slot) into one int32 payload:
-        # idx < 2^18 rows, rev <= 256 -> 9 bits
-        packed = jnp.minimum(idx, n) * 512 + jnp.minimum(rev, k)
-        # stable partition: in-cutoff entries first, original order kept.
-        # Rows are independent (dimension=1), so at production sizes the
-        # 5-operand sort runs in row blocks: the un-blocked transient is
-        # 2 x 5 x [P, K] floats (~11 GB at 1.5M atoms x K=192 -- OOM).
-        key = 1 - mask.astype(jnp.int32)
-        sl = slice(None, ks)
-        if p * k <= self.repack_sort_elems:
-            _, dxx, dxy, dxz, packed = jax.lax.sort(
-                (key, dxx, dxy, dxz, packed), dimension=1, num_keys=1)
-            dxx, dxy, dxz, packed = (dxx[:, sl], dxy[:, sl], dxz[:, sl],
-                                     packed[:, sl])
-        else:
-            blk = max(8, self.repack_sort_elems // k // 8 * 8)
-            nb = -(-p // blk)
-            pp = nb * blk
+        n_pad = -(-n // TILE) * TILE
+        c_pad = -(-n_pad // row_chunk) * row_chunk
 
-            def padb(a, fill):
-                return jnp.concatenate(
-                    [a, jnp.full((pp - p, k), fill, a.dtype)]) \
-                    if pp != p else a
+        def padr(a, rows, fill):
+            return jnp.concatenate(
+                [a, jnp.full((rows - a.shape[0],) + a.shape[1:], fill,
+                             a.dtype)]) if rows != a.shape[0] else a
 
-            args = tuple(padb(a, f).reshape(nb, blk, k) for a, f in
-                         ((key, 1), (dxx, 0.0), (dxy, 0.0), (dxz, 0.0),
-                          (packed, 0)))
+        idx = padr(nbr_idx, c_pad, n)
+        rev = padr(rev_slots, c_pad, k)
+        xi_all = padr(x, c_pad, 0.0)
+        x8 = jnp.pad(x, ((0, 1), (0, 5)))                  # [N+1, 8]
 
-            def blk_fn(ops):
-                kk, ax, ay, az, pk_ = ops
-                _, ax, ay, az, pk_ = jax.lax.sort(
-                    (kk, ax, ay, az, pk_), dimension=1, num_keys=1)
-                return ax[:, sl], ay[:, sl], az[:, sl], pk_[:, sl]
+        def block(idx_c, rev_c, xi_c, i0):
+            xj = x8[jnp.minimum(idx_c, n)]                 # [C, K, 8]
+            valid = idx_c < n
+            dd = []
+            rsq = jnp.zeros(idx_c.shape, x.dtype)
+            for d in range(3):
+                c = xi_c[:, d][:, None] - xj[:, :, d]
+                if self.pbc[d]:
+                    c = c - box[d] * jnp.round(c / box[d])
+                c = jnp.where(valid, c, 2.0 * box[d] + 10.0)
+                dd.append(c)
+                rsq = rsq + c * c
+            mask = valid & (rsq < rc * rc) & (rsq > 1.0e-12)
+            counts = jnp.sum(mask.astype(jnp.int32), axis=1)
+            packed = jnp.minimum(idx_c, n) * 512 + jnp.minimum(rev_c, k)
+            key = 1 - mask.astype(jnp.int32)
+            _, ax, ay, az, pk_ = jax.lax.sort(
+                (key, dd[0], dd[1], dd[2], packed), dimension=1, num_keys=1)
+            sl = slice(None, ks)
+            ax, ay, az, pk_ = ax[:, sl], ay[:, sl], az[:, sl], pk_[:, sl]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (idx_c.shape[0], ks),
+                                            1)
+            rows = i0 + jax.lax.broadcasted_iota(
+                jnp.int32, (idx_c.shape[0], ks), 0)
+            ok = lane < counts[:, None]
+            j_c = pk_ // 512
+            t_c = pk_ - j_c * 512
+            akey = jnp.where(ok & (t_c < k),
+                             j_c * (2 * k) + t_c,
+                             rows * (2 * k) + k + lane)
+            return ax, ay, az, akey, ok, jnp.any(counts > ks)
 
-            dxx, dxy, dxz, packed = jax.lax.map(blk_fn, args)
-            dxx, dxy, dxz, packed = (
-                a.reshape(pp, ks)[:p] for a in (dxx, dxy, dxz, packed))
-        lane = jax.lax.broadcasted_iota(jnp.int32, (p, ks), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (p, ks), 0)
-        ok = lane < counts[:, None]
-        j_c = packed // 512
-        t_c = packed - j_c * 512
-        akey = jnp.where(ok & (t_c < k),
-                         j_c * (2 * k) + t_c,
-                         row * (2 * k) + k + lane)
-        return dxx, dxy, dxz, akey, ok, overflow
+        if c_pad <= row_chunk:
+            dxx, dxy, dxz, akey, ok, ovf = block(
+                idx, rev, xi_all, jnp.asarray(0, jnp.int32))
+            return (dxx[:n_pad], dxy[:n_pad], dxz[:n_pad], akey[:n_pad],
+                    ok[:n_pad], ovf)
+        nb = c_pad // row_chunk
+        outs = jax.lax.map(
+            lambda a: block(*a),
+            (idx.reshape(nb, row_chunk, k), rev.reshape(nb, row_chunk, k),
+             xi_all.reshape(nb, row_chunk, 3),
+             jnp.arange(nb, dtype=jnp.int32) * row_chunk))
+        dxx, dxy, dxz, akey, ok = (
+            o.reshape(c_pad, ks)[:n_pad] for o in outs[:5])
+        return dxx, dxy, dxz, akey, ok, jnp.any(outs[5])
 
     def _assemble(self, fjx, fjy, fjz, akey, ok, n, ks):
         """F_a = -sum_s Fj[a,s] + sum(partner contributions) via ONE banded
-        sort (see _short_repack for the key construction)."""
+        sort (see _pair_dx_repacked for the key construction)."""
         p = fjx.shape[0]
         if p * ks <= self.assemble_sort_elems:
             _, px, py, pz = jax.lax.sort(
@@ -850,17 +854,17 @@ class PallasAnnp:
         """Full fused evaluation. rev_slots from neighbors.reverse_slots.
 
         When k_short is set and smaller than the list width, rows are first
-        compacted to their in-cutoff entries (see _short_repack); the repack
+        compacted to their in-cutoff entries (see _pair_dx_repacked); the repack
         also reports capacity overflow as NaN-free poisoned forces would be
         silent, so it is folded into the returned energy via jnp.where."""
         n, k = nbr_idx.shape
-        dxx, dxy, dxz = self._pair_dx(x, box, nbr_idx)
         overflow = None
         if self.k_short is not None and self.k_short < k:
-            (dxx, dxy, dxz, akey, ok, overflow) = self._short_repack(
-                dxx, dxy, dxz, nbr_idx, rev_slots, n)
+            (dxx, dxy, dxz, akey, ok, overflow) = self._pair_dx_repacked(
+                x, box, nbr_idx, rev_slots)
             ks = self.k_short
         else:
+            dxx, dxy, dxz = self._pair_dx(x, box, nbr_idx)
             p = dxx.shape[0]
             idx_s, rev_s = nbr_idx, rev_slots
             if idx_s.shape[0] != p:
