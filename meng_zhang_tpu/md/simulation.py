@@ -23,7 +23,7 @@ import numpy as np
 
 from ..system.neighbors import (NeighborList, build_neighbors_cell,
                                 build_neighbors_n2, cell_grid_dims,
-                                needs_rebuild)
+                                max_displacement_sq)
 from ..units import BOLTZ, MVV2E, NKTV2P
 from . import integrate as I
 
@@ -173,11 +173,10 @@ class Simulator:
         # is still in use, latch `unsafe` -- the sticky equivalent of a
         # LAMMPS "dangerous build" (pairs may have been silently missed).
         nbrs = s.nbrs
-        stale = s.stale | needs_rebuild(
-            nbrs, x, box, self.cfg.stale_factor * self.cfg.skin,
-            self.cfg.pbc)
-        unsafe = s.unsafe | needs_rebuild(nbrs, x, box, self.cfg.skin,
-                                          self.cfg.pbc)
+        msq = max_displacement_sq(nbrs, x, box, self.cfg.pbc)
+        stale = s.stale | (msq > (0.5 * self.cfg.stale_factor
+                                  * self.cfg.skin) ** 2)
+        unsafe = s.unsafe | (msq > (0.5 * self.cfg.skin) ** 2)
         pe, f, w = self._eval_force(x, box, nbrs)
         v = I.vv_kick(v, f, m, 0.5 * dt)
 

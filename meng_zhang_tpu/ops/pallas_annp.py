@@ -531,8 +531,9 @@ class PallasAnnp:
 
     def __init__(self, cfg, params, k_short=128, angular="harmonic"):
         self.k_short = k_short
-        # memory-lean assembly threshold (elements); tests override to
-        # force the per-component sorts at small sizes
+        # memory-lean assembly threshold (elements); production crosses it
+        # only above ~1.3M atoms, so tests/test_pallas_annp.py sets it to 0
+        # to exercise the per-component-sort branch at small sizes
         self.assemble_sort_elems = 1 << 27
         self.angular = angular
         self.npsf, self.ntsf = cfg.npsf, cfg.ntsf

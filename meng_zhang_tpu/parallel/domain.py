@@ -340,14 +340,14 @@ class ShardedMD:
         halo_r = jax.lax.ppermute(x_loc[:cfg.halo_b], "dp", left)
         return halo_l, halo_r
 
-    def _displacement_exceeds(self, x, ref, box, bound):
+    def _max_displacement_sq(self, x, ref, box):
         rsq = jnp.zeros(x.shape[0], x.dtype)
         for d in range(3):
             dd = x[:, d] - ref[:, d]
             if self.cfg.pbc[d]:
                 dd = dd - box[d] * jnp.round(dd / box[d])
             rsq = rsq + dd * dd
-        return jnp.any(rsq > bound * bound)
+        return jnp.max(rsq)
 
     # ---------- rebuild: device-local cell build + coverage proof ----------
     def _rebuild_body(self, st: ShardState) -> ShardState:
@@ -417,24 +417,32 @@ class ShardedMD:
 
         if D == 2:
             # both halos come from the SAME neighbor: its non-frame /
-            # non-center rows are the single mid block [B, C-B) / [bc, C-bc)
+            # non-center rows are the single mid block [B, C-B) / [bc, C-bc).
+            # Emptiness is STATIC (B, bc, C are Python ints): an empty
+            # segment short-circuits to False here rather than passing
+            # sentinel coordinates through the periodic modulo in hits_band
+            # (where (1e30 - a_lo) mod L is numerically meaningless).
             def seg(lo_r, hi_r):
                 if hi_r <= lo_r:
-                    return (big, -big)       # empty: never intersects
+                    return None              # empty: never intersects
                 return (jnp.min(x[lo_r:hi_r, 0]), jnp.max(x[lo_r:hi_r, 0]))
 
             mB = seg(B, C - B)
             mc = seg(bc, C - bc)
-            g = jax.lax.all_gather(jnp.stack([*mB, *mc]), "dp")   # [2, 4]
+            vals = [v for s in (mB, mc)
+                    for v in (s if s is not None else (big, -big))]
+            g = jax.lax.all_gather(jnp.stack(vals), "dp")         # [2, 4]
             o = 1 - i
 
-            def check(col, ref_lo, ref_hi):
+            def check(col, ref_lo, ref_hi, nonempty):
+                if not nonempty:
+                    return jnp.asarray(False)
                 a_lo = ref_lo - cfg.rlist
                 a_w = (ref_hi - ref_lo) + 2.0 * cfg.rlist
                 return hits_band(g[o, col], g[o, col + 1], a_lo, a_w)
 
-            bad_cover = (check(0, ctr_min, ctr_max)
-                         | check(2, loc_min, loc_max))
+            bad_cover = (check(0, ctr_min, ctr_max, mB is not None)
+                         | check(2, loc_min, loc_max, mc is not None))
         else:
             # left neighbor's rows [0, C-B) and right neighbor's rows [B, C)
             # are the adjacent non-frame blocks; every other device is
@@ -568,10 +576,10 @@ class ShardedMD:
             x = x + dt * v
 
         hl, hr = self._halo_refresh(x)
-        stale = st.stale[0] | self._displacement_exceeds(
-            x, ref, box, 0.5 * cfg.stale_factor * cfg.skin)
-        unsafe = st.unsafe[0] | self._displacement_exceeds(
-            x, ref, box, 0.5 * cfg.skin)
+        msq = self._max_displacement_sq(x, ref, box)
+        stale = st.stale[0] | (msq > (0.5 * cfg.stale_factor
+                                      * cfg.skin) ** 2)
+        unsafe = st.unsafe[0] | (msq > (0.5 * cfg.skin) ** 2)
 
         pe, f, w = self._force_local(x, hl, hr, box, idx, rev)
         virial = jax.lax.psum(w, "dp")

@@ -287,20 +287,28 @@ def build_neighbors_cell(x, box, cutoff, capacity, dims,
     return nl
 
 
-def needs_rebuild(nbrs: NeighborList, x, box, skin, pbc=(True, True, True)):
-    """True when any atom moved more than skin/2 since the list was built.
+def max_displacement_sq(nbrs: NeighborList, x, box, pbc=(True, True, True)):
+    """Largest squared displacement since the list was built (scalar).
 
-    Replaces the reference benchmark's fixed `neigh_modify every 5`
-    (in.st_test:10) with the standard safe-displacement criterion.
-    Componentwise to avoid trailing-dim-3 tiling on TPU.
-    """
+    Componentwise to avoid trailing-dim-3 tiling on TPU. Callers comparing
+    against several thresholds (stale + dangerous-build) evaluate the O(N)
+    reduction once and compare the scalar."""
     rsq = jnp.zeros(x.shape[0], x.dtype)
     for d in range(3):
         dd = x[:, d] - nbrs.ref_x[:, d]
         if pbc[d]:
             dd = dd - box[d] * jnp.round(dd / box[d])
         rsq = rsq + dd * dd
-    return jnp.any(rsq > (0.5 * skin) ** 2)
+    return jnp.max(rsq)
+
+
+def needs_rebuild(nbrs: NeighborList, x, box, skin, pbc=(True, True, True)):
+    """True when any atom moved more than skin/2 since the list was built.
+
+    Replaces the reference benchmark's fixed `neigh_modify every 5`
+    (in.st_test:10) with the standard safe-displacement criterion.
+    """
+    return max_displacement_sq(nbrs, x, box, pbc) > (0.5 * skin) ** 2
 
 
 def estimate_capacity(box, cutoff, n, headroom=1.25, minimum=8):

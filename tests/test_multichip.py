@@ -33,8 +33,10 @@ def scene(fe_pot):
     box = jnp.asarray(box_np)
     pk = PallasAnnp(cfg, params)
     nbrs = build_neighbors_n2(x, box, 6.5 + 0.6, 160, with_rev=True)
-    e_ref, f_ref = pk.energy_forces(x, box, nbrs.idx, nbrs.rev)
-    return cfg, params, x, box, pk, float(e_ref), np.asarray(f_ref)
+    e_ref, f_ref, w_ref = pk.energy_forces(x, box, nbrs.idx, nbrs.rev,
+                                           want_virial=True)
+    return (cfg, params, x, box, pk, float(e_ref), np.asarray(f_ref),
+            np.asarray(w_ref))
 
 
 def _scfg(n_dev, n, **kw):
@@ -49,7 +51,7 @@ def _scfg(n_dev, n, **kw):
 
 @pytest.mark.parametrize("n_dev", [2, 4])
 def test_sharded_forces_match_single_chip(scene, n_dev):
-    mcfg, params, x, box, pk, e_ref, f_ref = scene
+    mcfg, params, x, box, pk, e_ref, f_ref, w_ref = scene
     n = x.shape[0]
     md = ShardedMD(pk, MASS_FE, box, _scfg(n_dev, n))
     st, order = md.distribute(x)
@@ -61,11 +63,15 @@ def test_sharded_forces_match_single_chip(scene, n_dev):
     f_global = f_sorted[inv]
     np.testing.assert_allclose(e_tot, e_ref, rtol=1e-10)
     assert np.max(np.abs(f_global - f_ref)) < 1e-9
+    # the Pallas frame adapter drives the sharded NPT barostat through this
+    # psum'd virial -- assert 1-vs-N parity, not just forces
+    np.testing.assert_allclose(np.asarray(st.virial), w_ref,
+                               rtol=1e-8, atol=1e-9)
 
 
 def test_sharded_md_steps_match_single_chip(scene):
     """NVE steps on 4 shards track the single-chip trajectory."""
-    mcfg, params, x, box, pk, _, _ = scene
+    mcfg, params, x, box, pk, _, _, _ = scene
     n = x.shape[0]
     md = ShardedMD(pk, MASS_FE, box, _scfg(4, n, thermo_every=5))
     v0 = jnp.zeros_like(x)
@@ -215,7 +221,7 @@ def test_xla_frame_adapter_fe(scene):
     """The gradient-based XLA frame adapter (no reverse slots) matches the
     single-chip energies, forces, and virial."""
     from meng_zhang_tpu.models.annp import energy_forces_virial_chunked
-    mcfg, params, x, box, pk, e_ref, f_ref = scene
+    mcfg, params, x, box, pk, e_ref, f_ref, _ = scene
     n = x.shape[0]
     nbrs = build_neighbors_n2(x, box, 7.1, 160)
     _, _, w_ref = energy_forces_virial_chunked(mcfg, params, x, box,
@@ -274,9 +280,10 @@ def anna_scene(anna_pot):
     x = jnp.asarray(x_np + rng.normal(scale=0.05, size=x_np.shape))
     box = jnp.asarray(box_np)
     nbrs = build_neighbors_n2(x, box, mcfg.cut + 0.6, 96)
-    e_ref, f_ref, _ = anna_adp.energy_forces_virial(mcfg, params, x, box,
-                                                    nbrs.idx, shift=False)
-    return mcfg, params, x, box, float(e_ref), np.asarray(f_ref)
+    e_ref, f_ref, w_ref = anna_adp.energy_forces_virial(mcfg, params, x, box,
+                                                        nbrs.idx, shift=False)
+    return (mcfg, params, x, box, float(e_ref), np.asarray(f_ref),
+            np.asarray(w_ref))
 
 
 @pytest.mark.parametrize("n_dev", [2, 4, 8])
@@ -284,7 +291,7 @@ def test_sharded_anna_forces_match_single_chip(anna_scene, n_dev):
     """ANNA-ADP 1-vs-N force parity: the two-phase halo recompute replaces
     the reference's 12-field mid-step MPI exchange
     (src/pair_anna_adp_gpu.cpp:135-158)."""
-    mcfg, params, x, box, e_ref, f_ref = anna_scene
+    mcfg, params, x, box, e_ref, f_ref, w_ref = anna_scene
     n = x.shape[0]
     model = AnnaFrameModel(mcfg, params)
     # 11.2 atoms/A of x; rlist = 5.66 A -> bc >= 64 rows -> halo_b = 160
@@ -298,12 +305,15 @@ def test_sharded_anna_forces_match_single_chip(anna_scene, n_dev):
     inv = np.argsort(np.asarray(order))
     np.testing.assert_allclose(e_tot, float(e_ref), rtol=1e-10)
     assert np.max(np.abs(f_sorted[inv] - f_ref)) < 1e-9
+    # the ANNA frame virial feeds the sharded barostat -- assert it too
+    np.testing.assert_allclose(np.asarray(st.virial), w_ref,
+                               rtol=1e-8, atol=1e-9)
 
 
 def test_sharded_anna_md_nvt(anna_scene):
     """Sharded ANNA dynamics run, rebuild in-run, and conserve the NVT
     invariant."""
-    mcfg, params, x, box, _, _ = anna_scene
+    mcfg, params, x, box, _, _, _ = anna_scene
     n = x.shape[0]
     model = AnnaFrameModel(mcfg, params)
     scfg = ShardConfig(n_devices=4, c_loc=n // 4, halo_b=160, capacity=96,

@@ -91,6 +91,26 @@ def test_short_repack_parity(fe_pot):
                                atol=1e-10)
 
 
+def test_assemble_memory_lean_branch_parity(fe_pot):
+    """The memory-lean three 2-operand-sort assembly (assemble_sort_elems
+    exceeded, the >1.3M-atom production branch) must match the single
+    variadic-sort path exactly -- keys are unique, lax.sort is stable."""
+    cfg, params = make_annp(fe_pot, dtype=jnp.float64)
+    x, box = perturbed_bcc(n_cells=3)
+    nbrs = build_neighbors_n2(jnp.asarray(x), jnp.asarray(box),
+                              cfg.cut + 1.2, 256, with_rev=True)
+    pk = PallasAnnp(cfg, params, k_short=128)
+    e0, f0, w0 = pk.energy_forces(x, box, nbrs.idx, nbrs.rev,
+                                  want_virial=True)
+    pk_lean = PallasAnnp(cfg, params, k_short=128)
+    pk_lean.assemble_sort_elems = 0          # force the lean branch
+    e1, f1, w1 = pk_lean.energy_forces(x, box, nbrs.idx, nbrs.rev,
+                                       want_virial=True)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f0))
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w0))
+    assert float(e1) == float(e0)
+
+
 def test_short_repack_overflow_poisons(fe_pot):
     """k_short smaller than the true in-cutoff count must poison the outputs
     (NaN), never silently drop pairs."""
