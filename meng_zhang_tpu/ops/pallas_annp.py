@@ -436,6 +436,12 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
+def _padr(a, rows, fill):
+    return jnp.concatenate(
+        [a, jnp.full((rows - a.shape[0],) + a.shape[1:], fill,
+                     a.dtype)]) if rows != a.shape[0] else a
+
+
 @functools.partial(jax.jit, static_argnames=("cfg_key",))
 def _run_g(dxx, dxy, dxz, cfg_key):
     cfg = dict(cfg_key)
@@ -535,6 +541,10 @@ class PallasAnnp:
         # only above ~1.3M atoms, so tests/test_pallas_annp.py sets it to 0
         # to exercise the per-component-sort branch at small sizes
         self.assemble_sort_elems = 1 << 27
+        # above this many atoms, energy_forces runs the fused chunked
+        # pipeline (_eval_pipeline) so no [N, AB_PAD] scratch materializes;
+        # tests set it to 0 to exercise the pipeline at small sizes
+        self.pipeline_rows = 1 << 20
         self.angular = angular
         self.npsf, self.ntsf = cfg.npsf, cfg.ntsf
         if angular == "harmonic":
@@ -760,52 +770,15 @@ class PallasAnnp:
         n = x.shape[0]
         k = nbr_idx.shape[1]
         ks = self.k_short
-        rc = dict(self.cfg_key)["rc"]
         assert k <= 512, "int32 (row, slot) packing assumes capacity <= 512"
         n_pad = -(-n // TILE) * TILE
         c_pad = -(-n_pad // row_chunk) * row_chunk
 
-        def padr(a, rows, fill):
-            return jnp.concatenate(
-                [a, jnp.full((rows - a.shape[0],) + a.shape[1:], fill,
-                             a.dtype)]) if rows != a.shape[0] else a
-
-        idx = padr(nbr_idx, c_pad, n)
-        rev = padr(rev_slots, c_pad, k)
-        xi_all = padr(x, c_pad, 0.0)
+        idx = _padr(nbr_idx, c_pad, n)
+        rev = _padr(rev_slots, c_pad, k)
+        xi_all = _padr(x, c_pad, 0.0)
         x8 = jnp.pad(x, ((0, 1), (0, 5)))                  # [N+1, 8]
-
-        def block(idx_c, rev_c, xi_c, i0):
-            xj = x8[jnp.minimum(idx_c, n)]                 # [C, K, 8]
-            valid = idx_c < n
-            dd = []
-            rsq = jnp.zeros(idx_c.shape, x.dtype)
-            for d in range(3):
-                c = xi_c[:, d][:, None] - xj[:, :, d]
-                if self.pbc[d]:
-                    c = c - box[d] * jnp.round(c / box[d])
-                c = jnp.where(valid, c, 2.0 * box[d] + 10.0)
-                dd.append(c)
-                rsq = rsq + c * c
-            mask = valid & (rsq < rc * rc) & (rsq > 1.0e-12)
-            counts = jnp.sum(mask.astype(jnp.int32), axis=1)
-            packed = jnp.minimum(idx_c, n) * 512 + jnp.minimum(rev_c, k)
-            key = 1 - mask.astype(jnp.int32)
-            _, ax, ay, az, pk_ = jax.lax.sort(
-                (key, dd[0], dd[1], dd[2], packed), dimension=1, num_keys=1)
-            sl = slice(None, ks)
-            ax, ay, az, pk_ = ax[:, sl], ay[:, sl], az[:, sl], pk_[:, sl]
-            lane = jax.lax.broadcasted_iota(jnp.int32, (idx_c.shape[0], ks),
-                                            1)
-            rows = i0 + jax.lax.broadcasted_iota(
-                jnp.int32, (idx_c.shape[0], ks), 0)
-            ok = lane < counts[:, None]
-            j_c = pk_ // 512
-            t_c = pk_ - j_c * 512
-            akey = jnp.where(ok & (t_c < k),
-                             j_c * (2 * k) + t_c,
-                             rows * (2 * k) + k + lane)
-            return ax, ay, az, akey, ok, jnp.any(counts > ks)
+        block = functools.partial(self._repack_block, x8, n, k, box)
 
         if c_pad <= row_chunk:
             dxx, dxy, dxz, akey, ok, ovf = block(
@@ -821,6 +794,95 @@ class PallasAnnp:
         dxx, dxy, dxz, akey, ok = (
             o.reshape(c_pad, ks)[:n_pad] for o in outs[:5])
         return dxx, dxy, dxz, akey, ok, jnp.any(outs[5])
+
+    def _repack_block(self, x8, n, k, box, idx_c, rev_c, xi_c, i0):
+        """One row-chunk of the fused gather + short-neighbor repack (see
+        _pair_dx_repacked): returns (dxx, dxy, dxz, akey, ok, overflow) for
+        the chunk, rows offset by i0 in the delivery-key construction."""
+        ks = self.k_short
+        rc = dict(self.cfg_key)["rc"]
+        xj = x8[jnp.minimum(idx_c, n)]                 # [C, K, 8]
+        valid = idx_c < n
+        dd = []
+        rsq = jnp.zeros(idx_c.shape, x8.dtype)
+        for d in range(3):
+            c = xi_c[:, d][:, None] - xj[:, :, d]
+            if self.pbc[d]:
+                c = c - box[d] * jnp.round(c / box[d])
+            c = jnp.where(valid, c, 2.0 * box[d] + 10.0)
+            dd.append(c)
+            rsq = rsq + c * c
+        mask = valid & (rsq < rc * rc) & (rsq > 1.0e-12)
+        counts = jnp.sum(mask.astype(jnp.int32), axis=1)
+        packed = jnp.minimum(idx_c, n) * 512 + jnp.minimum(rev_c, k)
+        key = 1 - mask.astype(jnp.int32)
+        _, ax, ay, az, pk_ = jax.lax.sort(
+            (key, dd[0], dd[1], dd[2], packed), dimension=1, num_keys=1)
+        sl = slice(None, ks)
+        ax, ay, az, pk_ = ax[:, sl], ay[:, sl], az[:, sl], pk_[:, sl]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (idx_c.shape[0], ks), 1)
+        rows = i0 + jax.lax.broadcasted_iota(
+            jnp.int32, (idx_c.shape[0], ks), 0)
+        ok = lane < counts[:, None]
+        j_c = pk_ // 512
+        t_c = pk_ - j_c * 512
+        akey = jnp.where(ok & (t_c < k),
+                         j_c * (2 * k) + t_c,
+                         rows * (2 * k) + k + lane)
+        return ax, ay, az, akey, ok, jnp.any(counts > ks)
+
+    def _eval_pipeline(self, x, box, nbr_idx, rev_slots, want_virial,
+                       row_chunk=131072):
+        """Fully chunked evaluation for multi-million-atom scenes.
+
+        Runs repack -> g kernel -> MLP glue -> force kernel per row chunk
+        inside one lax.map, so the [N, AB_PAD] harmonic scratch and the
+        [N, Ks] displacement planes never materialize at full size (at 2M
+        atoms the unfused flow peaks ~6 GB over the v5e budget). The virial
+        is accumulated per chunk for the same reason. Returns
+        (eat [N], fjx, fjy, fjz [P, Ks], akey, ok, overflow, w|None)."""
+        n = x.shape[0]
+        k = nbr_idx.shape[1]
+        ks = self.k_short
+        assert k <= 512, "int32 (row, slot) packing assumes capacity <= 512"
+        row_chunk = min(row_chunk, -(-n // TILE) * TILE)
+        c_pad = -(-n // row_chunk) * row_chunk
+
+        idx = _padr(nbr_idx, c_pad, n)
+        rev = _padr(rev_slots, c_pad, k)
+        xi_all = _padr(x, c_pad, 0.0)
+        x8 = jnp.pad(x, ((0, 1), (0, 5)))
+        nb = c_pad // row_chunk
+
+        def block(args):
+            idx_c, rev_c, xi_c, i0 = args
+            ax, ay, az, akey, ok, ovf = self._repack_block(
+                x8, n, k, box, idx_c, rev_c, xi_c, i0)
+            eat, (fjx, fjy, fjz) = self._eval_fj(ax, ay, az)
+            outs = [eat, fjx, fjy, fjz, akey, ok, ovf]
+            if want_virial:
+                m = ok.astype(x.dtype)
+                comps = []
+                for da in (ax, ay, az):
+                    comps.append([-jnp.sum(da * fb * m)
+                                  for fb in (fjx, fjy, fjz)])
+                outs.append(jnp.asarray(comps))
+            return tuple(outs)
+
+        outs = jax.lax.map(
+            block,
+            (idx.reshape(nb, row_chunk, k), rev.reshape(nb, row_chunk, k),
+             xi_all.reshape(nb, row_chunk, 3),
+             jnp.arange(nb, dtype=jnp.int32) * row_chunk))
+        eat = outs[0].reshape(c_pad)[:n]
+        fjx, fjy, fjz, akey = (o.reshape(c_pad, ks) for o in outs[1:5])
+        ok = outs[5].reshape(c_pad, ks)
+        overflow = jnp.any(outs[6])
+        w = None
+        if want_virial:
+            w = jnp.sum(outs[7], axis=0)
+            w = 0.5 * (w + w.T)
+        return eat, fjx, fjy, fjz, akey, ok, overflow, w
 
     def _assemble(self, fjx, fjy, fjz, akey, ok, n, ks):
         """F_a = -sum_s Fj[a,s] + sum(partner contributions) via ONE banded
@@ -860,6 +922,19 @@ class PallasAnnp:
         silent, so it is folded into the returned energy via jnp.where."""
         n, k = nbr_idx.shape
         overflow = None
+        if (self.k_short is not None and self.k_short < k
+                and n > self.pipeline_rows):
+            # fused chunked pipeline: nothing [N, AB_PAD]-sized ever exists
+            eat, fjx, fjy, fjz, akey, ok, overflow, w = self._eval_pipeline(
+                x, box, nbr_idx, rev_slots, want_virial)
+            forces = self._assemble(fjx, fjy, fjz, akey, ok, n, self.k_short)
+            e_shift = dict(self.cfg_key)["e_shift"]
+            e = jnp.sum(eat[:n] - e_shift)
+            if shift:
+                e = e + n * e_shift
+            e = jnp.where(overflow, jnp.nan, e)
+            forces = jnp.where(overflow, jnp.nan, forces)
+            return (e, forces, w) if want_virial else (e, forces)
         if self.k_short is not None and self.k_short < k:
             (dxx, dxy, dxz, akey, ok, overflow) = self._pair_dx_repacked(
                 x, box, nbr_idx, rev_slots)

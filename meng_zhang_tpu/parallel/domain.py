@@ -98,12 +98,16 @@ def _state_specs():
 @dataclasses.dataclass(frozen=True)
 class ShardConfig:
     n_devices: int
-    c_loc: int            # atoms per device (n must equal D*C)
-    halo_b: int           # halo block size in atoms; must span > rlist in x
-    capacity: int         # neighbor capacity K
+    c_loc: int                    # atoms per device (n must equal D*C)
     cutoff: float
     skin: float
     dt: float
+    halo_b: Optional[int] = None  # halo block size in atoms (must span >
+                                  # rlist in x); None = derived from the
+                                  # scene at distribute() (see
+                                  # ShardedMD._auto_geometry)
+    capacity: Optional[int] = None  # neighbor capacity K; None = derived
+                                    # from mean density (estimate_capacity)
     ensemble: str = "nve"          # "nve" | "nvt" | "npt"
     t_target: float = 300.0
     tau_t: float = 0.1
@@ -213,7 +217,8 @@ class ShardedMD:
         self.cfg = cfg
         if cfg.n_devices < 2:
             raise ValueError("use md.simulation.Simulator for a single chip")
-        if cfg.n_devices == 2 and 2 * cfg.halo_b > cfg.c_loc:
+        if (cfg.halo_b is not None and cfg.n_devices == 2
+                and 2 * cfg.halo_b > cfg.c_loc):
             raise ValueError("2-device ring needs halo_b <= c_loc/2 "
                              "(the two halo blocks must not overlap)")
         if mesh is None:
@@ -227,6 +232,66 @@ class ShardedMD:
         self.rebuild_count = 0
 
     # ================= planning =================
+    def _auto_geometry(self, xs_sorted_x: np.ndarray, box):
+        """Derive halo_b (and capacity) from the initial sorted coordinates.
+
+        Requirement (docstring of _rebuild_body): the bc = halo_b/2
+        center-extension rows on each side of every slab must span at least
+        rlist in x, with extra width for drift until a redistribute. For
+        every slab edge, count the sorted atoms inside an (rlist + skin)
+        window on each side; bc = the max count x a 12.5% safety factor.
+        The rebuild-time coverage proof stays as the exact backstop -- a
+        deliberately undersized override still trips it."""
+        cfg = self.cfg
+        n, C, D = self.n, cfg.c_loc, cfg.n_devices
+        L = float(box[0])
+        # rlist + skin/4 of window plus the 6.25% count headroom: the
+        # fixed-row extension only has to absorb thermal drift between
+        # rebuilds (each rebuild re-proves coverage; sustained drift is the
+        # redistribute() case)
+        w = cfg.rlist + 0.25 * cfg.skin
+        xs = xs_sorted_x
+        if cfg.halo_b is not None:        # only capacity was left to derive
+            from ..system.neighbors import estimate_capacity
+            self.cfg = dataclasses.replace(
+                cfg, capacity=estimate_capacity(box, cfg.rlist, n))
+            return
+        need = 0
+        for e in range(D):
+            edge = e * C          # boundary between slabs e-1 and e
+            x_e = xs[edge] if edge < n else xs[0] + L
+            if cfg.pbc[0]:
+                ext = np.concatenate([xs - L, xs, xs + L])
+                lo = np.searchsorted(ext, x_e - w, side="right")
+                hi = np.searchsorted(ext, x_e + w, side="left")
+                mid = np.searchsorted(ext, x_e, side="left")
+            else:
+                ext = xs
+                lo = np.searchsorted(ext, x_e - w, side="right")
+                hi = np.searchsorted(ext, x_e + w, side="left")
+                mid = edge
+            need = max(need, mid - lo, hi - mid)
+        bc = -(-int(need * 1.0625 + 1) // 8) * 8
+        halo_b = 2 * bc
+        cap = min(C // 2 if D == 2 else C, self.n // 2)
+        if halo_b > cap:
+            # headroom exceeded the ring bound: clamp to the largest legal
+            # block -- the rebuild-time coverage proof (exact) is the
+            # arbiter of whether that actually suffices
+            clamped = (cap // 16) * 16
+            if clamped // 2 < need:
+                raise ValueError(
+                    f"derived halo_b={halo_b} exceeds the slab bound {cap} "
+                    f"and clamping below the {need}-row requirement: the "
+                    f"scene is too thin in x for {D} slabs -- use fewer "
+                    "devices or a wider box")
+            halo_b = clamped
+        updates = {"halo_b": halo_b}
+        if cfg.capacity is None:
+            from ..system.neighbors import estimate_capacity
+            updates["capacity"] = estimate_capacity(box, cfg.rlist, n)
+        self.cfg = dataclasses.replace(cfg, **updates)
+
     def _plan_frame(self, xs_sorted_x: np.ndarray, box):
         """Static frame x-extent + cell grid from the initial sorted coords.
 
@@ -273,6 +338,9 @@ class ShardedMD:
         order = jnp.argsort(x[:, 0])
         xs = x[order]
         vs = v[order] if v is not None else jnp.zeros_like(xs)
+        if cfg.halo_b is None or cfg.capacity is None:
+            self._auto_geometry(np.asarray(xs[:, 0], np.float64), box_np)
+            cfg = self.cfg
         self._plan_frame(np.asarray(xs[:, 0], np.float64), box_np)
 
         D, C, B = cfg.n_devices, cfg.c_loc, cfg.halo_b

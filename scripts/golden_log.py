@@ -9,7 +9,8 @@ to ~7 significant digits, SURVEY.md section 4.2). This script replays that
 experiment on this engine:
 
   1. parse the scene + the reference NPT thermo table from the zip,
-  2. FIRE-minimize (stands in for the script's 1-step CG minimize),
+  2. CG-minimize with the reference's own etol (stops after one
+     steepest-descent line minimization, exactly as its log shows),
   3. run the same NPT (300 K, tau_t 0.1, y-coupled barostat tau_p 1.0,
      dt 1 fs, 1000 steps),
   4. write artifacts/golden_log.json with both traces and the deviation
@@ -79,9 +80,6 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--thermo", type=int, default=10)
-    ap.add_argument("--fire-ftol", type=float, default=5e-3,
-                    help="eV/A (the scene arrives nearly minimized)")
-    ap.add_argument("--fire-max-iter", type=int, default=400)
     args = ap.parse_args()
 
     import jax
@@ -94,7 +92,6 @@ def main():
     import tempfile
     from meng_zhang_tpu.io.lammps_data import read_data
     from meng_zhang_tpu.io.potential import read_ann
-    from meng_zhang_tpu.md.minimize import fire_minimize
     from meng_zhang_tpu.md.simulation import MDConfig, Simulator
     from meng_zhang_tpu.models.annp import make_annp
     from meng_zhang_tpu.ops.pallas_annp import PallasAnnp
@@ -134,13 +131,12 @@ def main():
                                               want_virial=True, shift=False),
         jnp.full(n, MASS_FE, jnp.float32), cfg)
 
-    # ---- minimize. The reference's `minimize 1e-6 1e-6 1000 10000` stops
-    # after ONE CG step (linesearch quits; PE -6.8487629e8 -> -6.8487637e8),
-    # so its NPT run starts from a PARTIALLY minimized scene, and the early
-    # temperature transient (the dip near step 34) depends on how much
-    # relaxation is left. To replay the same experiment we stop FIRE when
-    # our PE reaches the reference's achieved minimum -- matching their
-    # stopping point, not beating it. ----
+    # ---- minimize: replay the reference's `minimize 1e-6 1e-6 1000 10000`
+    # with `min_style cg`. Its minimize table shows ONE iteration
+    # (PE -6.8487629e8 -> -6.8487637e8, a -80 eV line minimization along
+    # the initial force; |dE|/|E| = 1.2e-7 < etol = 1e-6 stops LAMMPS CG
+    # immediately). cg_minimize with the same etol performs the identical
+    # experiment: one steepest-descent line minimization from fe_st.dat. ----
     pe_ref_min = float(ref["pe"][0])         # NPT row 0 = post-minimize PE
     t0 = time.time()
     nbrs = sim.build_nbrs(x, box)
@@ -150,20 +146,15 @@ def main():
         e, f = pk.energy_forces(xx, bb, nbr[0], nbr[1], shift=False)
         return e, f
 
-    st = None
-    for outer in range(args.fire_max_iter // 5):
-        st = fire_minimize(ef, x, box, (nbrs.idx, nbrs.rev),
-                           f_tol=args.fire_ftol, max_iter=5,
-                           dt0=5e-4, dt_max=5e-3, block=5)
-        x = st.x
-        pe_now = float(st.pe) + pe_off
-        log(f"  fire {5 * (outer + 1):3d} iters: fmax={float(st.fmax):.3e} "
-            f"pe={pe_now:.9e}")
-        if pe_now <= pe_ref_min or float(st.fmax) <= args.fire_ftol:
-            break
+    from meng_zhang_tpu.md.minimize import cg_minimize
+    st = cg_minimize(ef, x, box, (nbrs.idx, nbrs.rev), etol=1.0e-6,
+                     ftol=1.0e-6, max_iter=1000, dmax=0.1,
+                     e_offset=pe_off)
+    x = st.x
     pe_min = float(st.pe) + pe_off
-    log(f"minimize: {time.time() - t0:.0f}s  PE {pe_min:.8e} eV "
-        f"(reference stopped at {pe_ref_min:.8e})")
+    log(f"minimize (cg): {time.time() - t0:.0f}s  {st.n_iter} iters, "
+        f"{st.n_evals} force evals, stop={st.converged}, "
+        f"PE {pe_min:.8e} eV (reference stopped at {pe_ref_min:.8e})")
 
     # ---- NPT ----
     st = sim.init_state(x, box, seed=4928459, t_init=300.0)

@@ -1,0 +1,175 @@
+#!/usr/bin/env python3
+"""Per-phase performance profile of the headline bench scene on the TPU.
+
+The reference instruments every phase with UCL_Timers (time_sh/ca/up,
+fe/lib/lal_annp.h:76-111); this is our equivalent measurement discipline.
+Times each pipeline stage of the 152,880-atom NPT step in isolation with
+block_until_ready fences and writes artifacts/profile_bench.json with
+per-phase shares, so optimization effort lands on the top item instead of
+a guess.
+
+Phases:
+  repack     _pair_dx_repacked (chunked gather + short-neighbor sort)
+  g_kernel   _run_g_harm (radial Chebyshev + harmonic ladder, Pallas)
+  mlp        _mlp_eat_dedg_harm (XLA tiny MLP + B coefficients)
+  f_kernel   _run_force_harm (per-pair forces, Pallas)
+  assemble   banded-sort force delivery
+  virial     the pairwise virial reductions
+  energy_forces  the full fused evaluation (sanity: ~= sum of the above)
+  step       one full NPT step inside the jitted runner
+  rebuild    cell build + reverse slots
+
+Run on the TPU: python scripts/profile_bench.py
+"""
+import json
+import os
+import sys
+import time
+import zipfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ZIP = "/root/reference/annp-gpu-lammps/fe_v2/performance test.zip"
+ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "artifacts")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timeit(fn, *args, reps=10, warmup=2):
+    import jax
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / reps, out
+
+
+def main():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/mzt_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import tempfile
+    from meng_zhang_tpu.io.lammps_data import read_data
+    from meng_zhang_tpu.io.potential import read_ann
+    from meng_zhang_tpu.md.simulation import MDConfig, Simulator
+    from meng_zhang_tpu.models.annp import make_annp
+    from meng_zhang_tpu.ops import pallas_annp as P
+    from meng_zhang_tpu.system.neighbors import cell_grid_dims
+    from meng_zhang_tpu.units import MASS_FE
+
+    tmp = tempfile.mkdtemp(prefix="mzprof")
+    zipfile.ZipFile(ZIP).extractall(tmp)
+    base = os.path.join(tmp, "performance comparsion")
+    d = read_data(os.path.join(base, "fe_st.dat"))
+    pot = read_ann(os.path.join(base, "fe_annp_potential_2.ann"))
+    pbc = (False, True, False)
+    mcfg, params = make_annp(pot, pbc=pbc)
+    pk = P.PallasAnnp(mcfg, params)
+    n = d.n
+    x = jnp.asarray(d.x, jnp.float32)
+    box = jnp.asarray(d.box, jnp.float32)
+    skin = 1.2
+    rlist = mcfg.cut + skin
+    dims = cell_grid_dims(np.asarray(d.box) * 0.92, rlist)
+    cfg = MDConfig(dt=0.001, cutoff=mcfg.cut, skin=skin, capacity=256,
+                   nbr_method="cell", cell_dims=dims, cell_capacity=96,
+                   ensemble="npt", t_target=300.0, tau_t=0.1,
+                   p_target=(0.0,) * 3, p_couple=(False, True, False),
+                   tau_p=1.0, thermo_every=10, with_rev=True, pbc=pbc)
+    sim = Simulator(
+        lambda xx, bb, nbrs: pk.energy_forces(xx, bb, nbrs.idx, nbrs.rev,
+                                              want_virial=True, shift=False),
+        jnp.full(n, MASS_FE, jnp.float32), cfg)
+
+    log(f"scene: {n} atoms; building neighbors...")
+    t, nbrs = timeit(jax.jit(sim.build_nbrs), x, box, reps=5, warmup=1)
+    res = {"rebuild": t}
+    log(f"rebuild (cell build + reverse slots): {t * 1e3:.1f} ms")
+
+    # --- phase-by-phase on the fused evaluator ---
+    rep = jax.jit(lambda xx, bb: pk._pair_dx_repacked(xx, bb, nbrs.idx,
+                                                      nbrs.rev))
+    t, out = timeit(rep, x, box)
+    res["repack"] = t
+    dxx, dxy, dxz, akey, ok, ovf = out
+    log(f"repack: {t * 1e3:.1f} ms  overflow={bool(ovf)}")
+
+    g = jax.jit(lambda a, b, c: P._run_g_harm(a, b, c, pk.cfg_key))
+    t, (g_raw, a_pad) = timeit(g, dxx, dxy, dxz)
+    res["g_kernel"] = t
+    log(f"g_kernel: {t * 1e3:.1f} ms")
+
+    mlp = jax.jit(pk._mlp_eat_dedg_harm)
+    t, (eat, dedg_rad, b) = timeit(mlp, g_raw, a_pad)
+    res["mlp"] = t
+    log(f"mlp glue: {t * 1e3:.1f} ms")
+
+    fk = jax.jit(lambda a, bb, c, dd, ee: P._run_force_harm(
+        a, bb, c, dd, ee, pk.cfg_key))
+    t, fj = timeit(fk, dxx, dxy, dxz, dedg_rad, b)
+    res["f_kernel"] = t
+    log(f"f_kernel: {t * 1e3:.1f} ms")
+
+    asm = jax.jit(lambda fjx, fjy, fjz, ak, okk: pk._assemble(
+        fjx, fjy, fjz, ak, okk, n, pk.k_short))
+    t, _ = timeit(asm, *fj, akey, ok)
+    res["assemble"] = t
+    log(f"assemble: {t * 1e3:.1f} ms")
+
+    def virial_only(dxx, dxy, dxz, fjx, fjy, fjz, okk):
+        m = okk[:n].astype(x.dtype)
+        comps = []
+        for da in (dxx, dxy, dxz):
+            row = [-jnp.sum(da[:n] * fb[:n] * m) for fb in (fjx, fjy, fjz)]
+            comps.append(row)
+        w = jnp.asarray(comps)
+        return 0.5 * (w + w.T)
+
+    t, _ = timeit(jax.jit(virial_only), dxx, dxy, dxz, *fj, ok)
+    res["virial"] = t
+    log(f"virial: {t * 1e3:.1f} ms")
+
+    ef = jax.jit(lambda xx, bb: pk.energy_forces(xx, bb, nbrs.idx, nbrs.rev,
+                                                 want_virial=True,
+                                                 shift=False))
+    t, _ = timeit(ef, x, box)
+    res["energy_forces"] = t
+    log(f"energy_forces (full): {t * 1e3:.1f} ms")
+
+    # --- one full step inside the jitted runner ---
+    st = sim.init_state(x, box, seed=1, t_init=300.0)
+    t, _ = timeit(lambda s: sim.run_device(s, 1), st, reps=5, warmup=1)
+    res["step_block"] = t / cfg.thermo_every
+    log(f"full NPT step (in 10-step block): {t / cfg.thermo_every * 1e3:.1f}"
+        " ms")
+
+    tot = res["step_block"]
+    shares = {k: round(v / tot, 4) for k, v in res.items()}
+    out = {
+        "scene": f"{n}-atom in.st_test NPT, skin {skin}, K=256->{pk.k_short}",
+        "times_s": {k: round(v, 6) for k, v in res.items()},
+        "share_of_step": shares,
+        "atom_steps_per_s_step": round(n / res["step_block"], 1),
+        "device": str(jax.devices()[0]),
+    }
+    os.makedirs(ART, exist_ok=True)
+    with open(os.path.join(ART, "profile_bench.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    log("wrote artifacts/profile_bench.json")
+    print(json.dumps(out["times_s"]))
+
+
+if __name__ == "__main__":
+    main()

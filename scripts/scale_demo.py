@@ -61,14 +61,24 @@ def main():
         thermo = 5
         label = "bcc-Fe 500,094-atom NPT 300K (thermal expansion, config 3)"
     else:
-        from meng_zhang_tpu.geometry.stgb import make_stgb
-        log("building 2M-atom STGB bicrystal...")
-        f = args.size_scale
-        d = make_stgb(length_box=(230.0 * f, 325.0 * f, 212.0 * f),
-                      delete_overlap=1.2)
-        x_np, box_np = d.x, d.box
+        cache = f"/tmp/mzt_stgb2m_{args.size_scale}.npz"
+        if os.path.exists(cache):
+            log(f"loading cached STGB scene from {cache}")
+            dd = np.load(cache)
+            x_np, box_np = dd["x"], dd["box"]
+        else:
+            from meng_zhang_tpu.geometry.stgb import make_stgb
+            log("building 2M-atom STGB bicrystal...")
+            f = args.size_scale
+            d = make_stgb(length_box=(230.0 * f, 325.0 * f, 212.0 * f),
+                          delete_overlap=1.2)
+            x_np, box_np = d.x, d.box
+            np.savez(cache, x=x_np, box=box_np)
         ensemble, couple = "nve", (False,) * 3
-        skin, capacity, cell_cap = 0.8, 192, 64
+        # cell_cap 48 covers bcc-Fe bulk (34 atoms per 7.3 A cell) + GB
+        # margin; 64 put the [ncell, cc, K] build intermediate at 4 GB and
+        # OOMed the chip. K=176 >= the ~140 bulk neighbors at rlist 7.3.
+        skin, capacity, cell_cap = 0.8, 176, 48
         steps = args.steps or 100
         thermo = 5
         label = f"STGB bcc-Fe {len(x_np):,}-atom NVE 300K (config 5 scene)"

@@ -138,6 +138,61 @@ def test_npt_axis_couple_only_y(anna_system):
     assert np.all(np.isfinite(np.asarray(th.press)))
 
 
+def test_cg_minimizer(anna_pot):
+    """Polak-Ribiere CG (LAMMPS min_style cg) reaches the FIRE minimum in
+    far fewer force evaluations -- the reference benchmark's minimizer
+    (in.st_test:20-21)."""
+    from meng_zhang_tpu.md.minimize import cg_minimize
+    cfg, params = anna_adp.make_anna(anna_pot, dtype=jnp.float64)
+    x, box = bcc(4, dtype=jnp.float64)
+    rng = np.random.default_rng(5)
+    x = x + jnp.asarray(rng.normal(scale=0.08, size=x.shape))
+    from meng_zhang_tpu.system.neighbors import build_neighbors_n2
+    nbrs = build_neighbors_n2(x, box, cfg.cut + 0.5, 96)
+
+    def force_fn(xx, bb, idx):
+        return anna_adp.energy_forces(cfg, params, xx, bb, idx)
+
+    e0, _ = force_fn(x, box, nbrs.idx)
+    st = cg_minimize(force_fn, x, box, nbrs.idx, etol=0.0, ftol=1e-3,
+                     max_iter=80)
+    assert float(st.pe) < float(e0)
+    fire = fire_minimize(force_fn, x, box, nbrs.idx, f_tol=5e-3,
+                         max_iter=400)
+    # same minimum (or better), and with fewer evaluations than FIRE steps
+    assert float(st.pe) <= float(fire.pe) + 1e-3
+    assert st.n_evals < int(fire.n_iter)
+
+
+def test_cg_single_iteration_is_steepest_descent_linemin(anna_pot):
+    """max_iter=1 replays the reference benchmark's effective minimize: one
+    steepest-descent line minimization (its etol=1e-6 stops LAMMPS CG after
+    a single iteration, log_relaxing_new.lammps minimize table)."""
+    from meng_zhang_tpu.md.minimize import cg_minimize
+    cfg, params = anna_adp.make_anna(anna_pot, dtype=jnp.float64)
+    x, box = bcc(4, dtype=jnp.float64)
+    rng = np.random.default_rng(7)
+    x = x + jnp.asarray(rng.normal(scale=0.05, size=x.shape))
+    from meng_zhang_tpu.system.neighbors import build_neighbors_n2
+    nbrs = build_neighbors_n2(x, box, cfg.cut + 0.5, 96)
+
+    def force_fn(xx, bb, idx):
+        return anna_adp.energy_forces(cfg, params, xx, bb, idx)
+
+    e0, f0 = force_fn(x, box, nbrs.idx)
+    st = cg_minimize(force_fn, x, box, nbrs.idx, etol=0.0, ftol=0.0,
+                     max_iter=1)
+    assert st.n_iter == 1
+    assert float(st.pe) < float(e0)
+    # the step moved along f0 only (steepest descent): displacement is
+    # proportional to the initial force direction
+    dx = np.asarray(st.x - x)
+    f0n = np.asarray(f0)
+    cosang = (np.sum(dx * f0n)
+              / (np.linalg.norm(dx) * np.linalg.norm(f0n)))
+    assert cosang > 0.999999
+
+
 def test_fire_minimizer(anna_pot):
     cfg, params = anna_adp.make_anna(anna_pot, dtype=jnp.float32)
     x, box = bcc(4, dtype=jnp.float32)

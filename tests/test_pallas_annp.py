@@ -111,6 +111,41 @@ def test_assemble_memory_lean_branch_parity(fe_pot):
     assert float(e1) == float(e0)
 
 
+def test_pipeline_path_parity(fe_pot):
+    """The fused chunked pipeline (the >1M-atom path: repack -> kernels ->
+    glue per row chunk inside lax.map) must match the unfused flow exactly
+    in E, F, and W."""
+    cfg, params = make_annp(fe_pot, dtype=jnp.float64)
+    x, box = perturbed_bcc(n_cells=3)
+    nbrs = build_neighbors_n2(jnp.asarray(x), jnp.asarray(box),
+                              cfg.cut + 1.2, 256, with_rev=True)
+    pk = PallasAnnp(cfg, params, k_short=128)
+    e0, f0, w0 = pk.energy_forces(x, box, nbrs.idx, nbrs.rev,
+                                  want_virial=True)
+    pk_pipe = PallasAnnp(cfg, params, k_short=128)
+    pk_pipe.pipeline_rows = 0              # force the pipeline
+    e1, f1, w1 = pk_pipe.energy_forces(x, box, nbrs.idx, nbrs.rev,
+                                       want_virial=True)
+    # not bitwise (the lax.map wrapper changes XLA fusion) but f64-tight
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(float(e1), float(e0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w0),
+                               rtol=1e-10, atol=1e-12)
+    # with a row chunk smaller than N, so the map genuinely iterates and
+    # rows are padded to a chunk multiple
+    n = x.shape[0]
+    eat, fjx, fjy, fjz, akey, ok, ovf, w = pk_pipe._eval_pipeline(
+        jnp.asarray(x), jnp.asarray(box), nbrs.idx, nbrs.rev, True,
+        row_chunk=16)
+    f3 = pk_pipe._assemble(fjx, fjy, fjz, akey, ok, n, 128)
+    np.testing.assert_allclose(np.asarray(f3), np.asarray(f0),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w0),
+                               rtol=1e-10, atol=1e-12)
+    assert not bool(ovf)
+
+
 def test_short_repack_overflow_poisons(fe_pot):
     """k_short smaller than the true in-cutoff count must poison the outputs
     (NaN), never silently drop pairs."""
