@@ -74,7 +74,9 @@ class MDConfig:
     p_target: tuple = (0.0, 0.0, 0.0)   # bar, per axis
     p_couple: tuple = (False, False, False)
     tau_p: float = 1.0              # ps (LAMMPS Pdamp)
-    nhc_len: int = 3
+    nhc_len: int = 3                # particle chain (LAMMPS tchain)
+    pchain: int = 3                 # barostat thermostat chain (LAMMPS
+                                    # fix npt pchain default)
     thermo_every: int = 10
     with_rev: bool = False          # build reverse-slot maps (Pallas force path)
     pbc: tuple = (True, True, True)
@@ -207,7 +209,7 @@ class Simulator:
         """Barostat-thermostat chain masses: ndof = coupled axes, damping
         tau_p (LAMMPS uses a separate tdamp for etap; tau_p is a fine default)."""
         return I.nhc_masses(self._n_couple(), self.cfg.t_target,
-                            self.cfg.tau_p, 2, dtype)
+                            self.cfg.tau_p, self.cfg.pchain, dtype)
 
     def _npt_baro_thermo(self, s: MDState, dt) -> MDState:
         """Half-step NHC thermostat on the barostat strain rates v_eps."""
@@ -265,13 +267,17 @@ class Simulator:
             t0 = self.cfg.t_target if t_init is None else t_init
             v = create_velocities(sub, self.masses.astype(dtype), t0, dtype)
         nbrs = self.build_nbrs(x, box)
+        # break the ref_x <-> x buffer aliasing: run_device donates the
+        # state, and donating one buffer reachable through two leaves is a
+        # runtime error
+        nbrs = nbrs._replace(ref_x=jnp.copy(x))
         pe, f, w = self._eval_force(x, box, nbrs)
         return MDState(
             x=x, v=v, f=f, box=box, pe=pe, virial=w, nbrs=nbrs,
             nhc=I.NHCState.zeros(self.cfg.nhc_len, dtype),
-            v_eps=jnp.zeros(3, dtype), baro_nhc=I.NHCState.zeros(2, dtype),
+            v_eps=jnp.zeros(3, dtype), baro_nhc=I.NHCState.zeros(self.cfg.pchain, dtype),
             key=key, step=jnp.asarray(0, jnp.int32),
-            overflow=nbrs.overflow, stale=jnp.asarray(False),
+            overflow=jnp.copy(nbrs.overflow), stale=jnp.asarray(False),
             unsafe=jnp.asarray(False))
 
     # ---------- thermo ----------
@@ -302,11 +308,10 @@ class Simulator:
                       vol=vol, conserved=conserved)
 
     # ---------- run loop ----------
-    @partial(jax.jit, static_argnums=(0, 2))
+    @partial(jax.jit, static_argnums=(0, 2), donate_argnums=(1,))
     def run_device(self, state: MDState, n_blocks: int):
-        """Advance n_blocks x thermo_every steps with a FIXED neighbor list;
-        returns (state, Thermo stacked [n_blocks]). Fully device-resident --
-        `state.stale` reports whether a rebuild became necessary."""
+        """NOTE: donates `state` (the [N, K] neighbor tables double the
+        footprint at 2M atoms otherwise) -- callers must rebind."""
         every = self.cfg.thermo_every
 
         def block(s, _):
@@ -315,9 +320,13 @@ class Simulator:
 
         return jax.lax.scan(block, state, None, length=n_blocks)
 
-    @partial(jax.jit, static_argnums=(0,))
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
     def _rebuild(self, state: MDState) -> MDState:
         nbrs = self.build_nbrs(state.x, state.box)
+        # optimization_barrier forces ref_x into a distinct output buffer
+        # from the pass-through x (duplicate outputs may share one buffer,
+        # which the donating run_device would then reject)
+        nbrs = nbrs._replace(ref_x=jax.lax.optimization_barrier(state.x))
         return state._replace(nbrs=nbrs, stale=jnp.asarray(False),
                               overflow=state.overflow | nbrs.overflow)
 

@@ -115,6 +115,7 @@ class ShardConfig:
     p_target: tuple = (0.0, 0.0, 0.0)
     p_couple: tuple = (False, False, False)
     tau_p: float = 1.0
+    pchain: int = 3                # barostat thermostat chain length
     thermo_every: int = 10
     pbc: tuple = (True, True, True)
     cell_capacity: int = 64
@@ -360,7 +361,7 @@ class ShardedMD:
             virial=jnp.zeros((3, 3), dtype),
             nhc=I.NHCState.zeros(cfg.nhc_len, dtype),
             v_eps=jnp.zeros(3, dtype),
-            baro_nhc=I.NHCState.zeros(2, dtype),
+            baro_nhc=I.NHCState.zeros(cfg.pchain, dtype),
             step=jnp.asarray(0, jnp.int32),
             stale=jnp.zeros(D, bool), unsafe=jnp.zeros(D, bool),
             overflow=jnp.zeros(D, bool))
@@ -577,7 +578,7 @@ class ShardedMD:
 
     def _baro_q(self, dtype):
         return I.nhc_masses(self._n_couple(), self.cfg.t_target,
-                            self.cfg.tau_p, 2, dtype)
+                            self.cfg.tau_p, self.cfg.pchain, dtype)
 
     def _global_ke2(self, v):
         return jax.lax.psum(MVV2E * jnp.sum(self.m * v * v), "dp")

@@ -148,9 +148,16 @@ def main():
     res["energy_forces"] = t
     log(f"energy_forces (full): {t * 1e3:.1f} ms")
 
-    # --- one full step inside the jitted runner ---
+    # --- one full step inside the jitted runner (donates state: rebind) ---
     st = sim.init_state(x, box, seed=1, t_init=300.0)
-    t, _ = timeit(lambda s: sim.run_device(s, 1), st, reps=5, warmup=1)
+    st, _ = sim.run_device(st, 1)                 # compile + warmup
+    jax.block_until_ready(st.x)
+    t0 = time.time()
+    reps = 5
+    for _ in range(reps):
+        st, _ = sim.run_device(st, 1)
+    jax.block_until_ready(st.x)
+    t = (time.time() - t0) / reps
     res["step_block"] = t / cfg.thermo_every
     log(f"full NPT step (in 10-step block): {t / cfg.thermo_every * 1e3:.1f}"
         " ms")
