@@ -87,8 +87,8 @@ def run_md(x_np, box_np, pbc, ensemble, couple, steps, thermo, mcfg, params,
     n_blocks = max(1, steps // thermo)
     t0 = time.time()
     st, th = sim.run(st, n_blocks)
-    jax.block_until_ready(th)
-    wall = time.time() - t0
+    float(th.temp[-1])   # host readback: block_until_ready is a no-op
+    wall = time.time() - t0   # fence under the axon remote-TPU plugin
     aps = n * n_blocks * thermo / wall
     log(f"{n_blocks * thermo} steps in {wall:.2f}s -> {aps:,.0f} atom-steps/s"
         f"  T={float(th.temp[-1]):.1f}K PE={float(th.pe[-1]) + pe_off:.6e}"

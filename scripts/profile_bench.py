@@ -40,15 +40,25 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timeit(fn, *args, reps=10, warmup=2):
+def sync(out):
+    """True device fence. jax.block_until_ready returns at ENQUEUE under
+    the axon remote-TPU plugin (it reported a 1.1 s cell rebuild as 0.06 ms)
+    -- a one-element host readback is the only reliable fence; the TPU
+    executes in order, so reading the last output syncs the whole queue."""
     import jax
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[0])
+    return out
+
+
+def timeit(fn, *args, reps=10, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     return (time.time() - t0) / reps, out
 
 
@@ -96,12 +106,15 @@ def main():
     log(f"scene: {n} atoms; building neighbors...")
     t, nbrs = timeit(jax.jit(sim.build_nbrs), x, box, reps=5, warmup=1)
     res = {"rebuild": t}
-    log(f"rebuild (cell build + reverse slots): {t * 1e3:.1f} ms")
+    log(f"rebuild (cell build + reverse slots): {t * 1e3:.2f} ms")
 
     # --- phase-by-phase on the fused evaluator ---
-    rep = jax.jit(lambda xx, bb: pk._pair_dx_repacked(xx, bb, nbrs.idx,
-                                                      nbrs.rev))
-    t, out = timeit(rep, x, box)
+    # neighbor tables ride as jit ARGUMENTS everywhere: a [152880,256] idx
+    # captured as a closure constant is 156 MB baked into the program and
+    # blows the axon remote-compile request limit (HTTP 413)
+    rep = jax.jit(lambda xx, bb, ii, rr: pk._pair_dx_repacked(xx, bb, ii,
+                                                              rr))
+    t, out = timeit(rep, x, box, nbrs.idx, nbrs.rev)
     res["repack"] = t
     dxx, dxy, dxz, akey, ok, ovf = out
     log(f"repack: {t * 1e3:.1f} ms  overflow={bool(ovf)}")
@@ -141,22 +154,22 @@ def main():
     res["virial"] = t
     log(f"virial: {t * 1e3:.1f} ms")
 
-    ef = jax.jit(lambda xx, bb: pk.energy_forces(xx, bb, nbrs.idx, nbrs.rev,
-                                                 want_virial=True,
-                                                 shift=False))
-    t, _ = timeit(ef, x, box)
+    ef = jax.jit(lambda xx, bb, ii, rr: pk.energy_forces(xx, bb, ii, rr,
+                                                         want_virial=True,
+                                                         shift=False))
+    t, _ = timeit(ef, x, box, nbrs.idx, nbrs.rev)
     res["energy_forces"] = t
     log(f"energy_forces (full): {t * 1e3:.1f} ms")
 
     # --- one full step inside the jitted runner (donates state: rebind) ---
     st = sim.init_state(x, box, seed=1, t_init=300.0)
     st, _ = sim.run_device(st, 1)                 # compile + warmup
-    jax.block_until_ready(st.x)
+    sync(st.x)
     t0 = time.time()
     reps = 5
     for _ in range(reps):
         st, _ = sim.run_device(st, 1)
-    jax.block_until_ready(st.x)
+    sync(st.x)
     t = (time.time() - t0) / reps
     res["step_block"] = t / cfg.thermo_every
     log(f"full NPT step (in 10-step block): {t / cfg.thermo_every * 1e3:.1f}"

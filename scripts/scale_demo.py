@@ -61,7 +61,13 @@ def main():
         thermo = 5
         label = "bcc-Fe 500,094-atom NPT 300K (thermal expansion, config 3)"
     else:
-        cache = f"/tmp/mzt_stgb2m_{args.size_scale}.npz"
+        # overlap prune at 2.3 A ~ 0.93 r_nn (delete_atoms-overlap practice
+        # for bcc-Fe GBs, nearest neighbor 2.47 A): pairs left at 2.0-2.2 A
+        # store >10 eV -- their relaxation reaches ~80 A/ps and outruns the
+        # 0.4 A skin/2 budget between block-boundary rebuilds (sticky
+        # `unsafe` in the measured window); at 2.3 A the worst pair carries
+        # a few eV and stays within the rebuild cadence
+        cache = f"/tmp/mzt_stgb2m_{args.size_scale}_d23.npz"
         if os.path.exists(cache):
             log(f"loading cached STGB scene from {cache}")
             dd = np.load(cache)
@@ -71,7 +77,7 @@ def main():
             log("building 2M-atom STGB bicrystal...")
             f = args.size_scale
             d = make_stgb(length_box=(230.0 * f, 325.0 * f, 212.0 * f),
-                          delete_overlap=1.2)
+                          delete_overlap=2.3)
             x_np, box_np = d.x, d.box
             np.savez(cache, x=x_np, box=box_np)
         ensemble, couple = "nve", (False,) * 3
@@ -120,7 +126,7 @@ def main():
     log(f"init: {time.time() - t0:.1f}s overflow={bool(st.overflow)}")
     assert not bool(st.overflow), "neighbor/cell capacity overflow"
     t0 = time.time()
-    st, th = sim.run(st, 6)                  # warmup (includes compiles)
+    st, th = sim.run(st, 10)                 # warmup (includes compiles)
     jax.block_until_ready(th)
     log(f"warmup: {time.time() - t0:.1f}s T={float(th.temp[-1]):.1f}"
         f" unsafe={bool(st.unsafe)}")
@@ -133,8 +139,8 @@ def main():
     n_blocks = steps // thermo
     t0 = time.time()
     st, th = sim.run(st, n_blocks)
-    jax.block_until_ready(th)
-    wall = time.time() - t0
+    float(th.temp[-1])   # host readback: block_until_ready is a no-op
+    wall = time.time() - t0   # fence under the axon remote-TPU plugin
     aps = n * n_blocks * thermo / wall
     pe_off = n * mcfg.e_shift
     log(f"{n_blocks * thermo} steps in {wall:.1f}s -> {aps:,.0f} atom-steps/s"
