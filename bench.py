@@ -35,11 +35,14 @@ def run_md(x_np, box_np, pbc, ensemble, couple, steps, thermo, mcfg, params,
     from meng_zhang_tpu.units import MASS_FE
     import numpy as np
 
-    pk = PallasAnnp(mcfg, params)
+    pk = PallasAnnp(mcfg, params, short_delta=0.3)
 
-    def force_fn(xx, bb, nbrs):
-        return pk.energy_forces(xx, bb, nbrs.idx, nbrs.rev, want_virial=True,
-                                shift=False)
+    def force_fn(xx, bb, nbrs, short):
+        return pk.energy_forces_short(xx, bb, short, want_virial=True,
+                                      shift=False)
+
+    def short_build(xx, bb, nbrs):
+        return pk.compact_short(xx, bb, nbrs.idx, nbrs.rev)
 
     rlist = mcfg.cut + skin
     # NPT shrinks the box; size the static cell grid for up to ~8% shrink
@@ -50,9 +53,11 @@ def run_md(x_np, box_np, pbc, ensemble, couple, steps, thermo, mcfg, params,
                    nbr_method="cell", cell_dims=dims, cell_capacity=96,
                    ensemble=ensemble, t_target=300.0, tau_t=0.1,
                    p_target=(0.0,) * 3, p_couple=couple, tau_p=1.0,
-                   thermo_every=thermo, with_rev=True, pbc=pbc)
+                   thermo_every=thermo, with_rev=True, pbc=pbc,
+                   short_every=10, short_skin=pk.short_delta)
     n = len(x_np)
-    sim = Simulator(force_fn, jnp.full(n, MASS_FE, jnp.float32), cfg)
+    sim = Simulator(force_fn, jnp.full(n, MASS_FE, jnp.float32), cfg,
+                    short_build=short_build)
     x = jnp.asarray(x_np, jnp.float32)
     box = jnp.asarray(box_np, jnp.float32)
     pe_off = n * mcfg.e_shift
@@ -134,7 +139,7 @@ def main():
             log(f"reference scene: {d.n} atoms, box {d.box}, NPT y-couple")
             aps = run_md(d.x, d.box, pbc, "npt", (False, True, False),
                          args.steps, args.thermo, mcfg, params,
-                         capacity=256, skin=1.2,
+                         capacity=192, skin=1.2,
                          minimize=not args.no_minimize)
             print(json.dumps({
                 "metric": "reference 152880-atom bcc-Fe NPT (in.st_test scene)",

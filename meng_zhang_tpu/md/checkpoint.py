@@ -34,7 +34,10 @@ def load_checkpoint(path: str, simulator) -> MDState:
     x = jnp.asarray(z["x"])
     box = jnp.asarray(z["box"])
     nbrs = simulator.build_nbrs(x, box)
-    pe, f, w = simulator._eval_force(x, box, nbrs)
+    short = None
+    if getattr(simulator, "short_build", None) is not None:
+        short = simulator.short_build(x, box, nbrs)
+    pe, f, w = simulator._eval_force(x, box, nbrs, short)
     return MDState(
         x=x, v=jnp.asarray(z["v"]), f=f, box=box, pe=pe, virial=w,
         nbrs=nbrs,
@@ -46,4 +49,5 @@ def load_checkpoint(path: str, simulator) -> MDState:
         step=jnp.asarray(int(z["step"]), jnp.int32),
         overflow=jnp.asarray(bool(z["overflow"])),
         stale=jnp.asarray(False),
-        unsafe=jnp.asarray(bool(z["unsafe"]) if "unsafe" in z else False))
+        unsafe=jnp.asarray(bool(z["unsafe"]) if "unsafe" in z else False),
+        short=short)

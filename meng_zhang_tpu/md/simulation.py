@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Callable, NamedTuple, Optional
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +46,8 @@ class MDState(NamedTuple):
     unsafe: jax.Array     # sticky: some atom moved > skin/2 before a rebuild
                           # landed (pairs may have been missed -- the failure
                           # LAMMPS calls a "dangerous build")
+    short: Any            # refresh-static short list (model-owned pytree
+                          # with .ref_x and .overflow; None when disabled)
 
 
 class Thermo(NamedTuple):
@@ -85,6 +87,17 @@ class MDConfig:
                                     # must absorb the drift until the next
                                     # block-boundary rebuild -- lower it for
                                     # hot scenes or large thermo_every
+    short_every: int = 0            # refresh the model's short list every
+                                    # this many steps inside the jitted block
+                                    # (0 disables; must divide thermo_every).
+                                    # The fixed in-scan cadence replaces a
+                                    # lax.cond (XLA runs both branches) --
+                                    # the LAMMPS analogue is `neigh_modify
+                                    # every N` for the inner list epoch
+    short_skin: float = 0.0         # the model's short_delta: an atom moving
+                                    # > short_skin/2 since the last refresh
+                                    # can let a pair enter the cutoff unseen
+                                    # -- latched into `unsafe`
 
 
 def create_velocities(key, masses, t_target, dtype=jnp.float32):
@@ -105,10 +118,21 @@ class Simulator:
     force_fn(x, box, nbrs: NeighborList) -> (pe, forces, virial[3,3])
     """
 
-    def __init__(self, force_fn: Callable, masses, cfg: MDConfig):
+    def __init__(self, force_fn: Callable, masses, cfg: MDConfig,
+                 short_build: Optional[Callable] = None):
+        """short_build(x, box, nbrs) -> short-list pytree (with .ref_x and
+        .overflow leaves) enables the refresh-static short-list fast path:
+        force_fn is then called as force_fn(x, box, nbrs, short) and the
+        short list is refreshed every cfg.short_every steps in-scan."""
         self.force_fn = force_fn
         self.masses = masses
         self.cfg = cfg
+        self.short_build = short_build
+        if short_build is not None:
+            assert cfg.short_every > 0 and cfg.short_skin > 0.0, \
+                "short_build requires cfg.short_every and cfg.short_skin"
+            assert cfg.thermo_every % cfg.short_every == 0, \
+                "short_every must divide thermo_every"
         n = masses.shape[0]
         self.ndof = 3 * n - 3
         self.n = n
@@ -135,8 +159,15 @@ class Simulator:
                                     pbc=c.pbc)
 
     # ---------- single step ----------
-    def _eval_force(self, x, box, nbrs):
+    def _eval_force(self, x, box, nbrs, short=None):
+        if self.short_build is not None:
+            return self.force_fn(x, box, nbrs, short)
         return self.force_fn(x, box, nbrs)
+
+    def _refresh_short(self, s: MDState) -> MDState:
+        if self.short_build is None:
+            return s
+        return s._replace(short=self.short_build(s.x, s.box, s.nbrs))
 
     def step(self, s: MDState) -> MDState:
         c = self.cfg
@@ -179,13 +210,20 @@ class Simulator:
         stale = s.stale | (msq > (0.5 * self.cfg.stale_factor
                                   * self.cfg.skin) ** 2)
         unsafe = s.unsafe | (msq > (0.5 * self.cfg.skin) ** 2)
-        pe, f, w = self._eval_force(x, box, nbrs)
+        if self.short_build is not None:
+            # exact dangerous-build criterion for the short-list epoch: an
+            # atom moving > short_skin/2 since the refresh can carry a pair
+            # into the cutoff unseen
+            msq_s = max_displacement_sq(
+                nbrs._replace(ref_x=s.short.ref_x), x, box, self.cfg.pbc)
+            unsafe = unsafe | (msq_s > (0.5 * self.cfg.short_skin) ** 2)
+        pe, f, w = self._eval_force(x, box, nbrs, s.short)
         v = I.vv_kick(v, f, m, 0.5 * dt)
 
         s = MDState(x=x, v=v, f=f, box=box, pe=pe, virial=w, nbrs=nbrs,
                     nhc=s.nhc, v_eps=s.v_eps, baro_nhc=s.baro_nhc, key=key,
                     step=s.step + 1, overflow=s.overflow | nbrs.overflow,
-                    stale=stale, unsafe=unsafe)
+                    stale=stale, unsafe=unsafe, short=s.short)
         if c.ensemble == "npt":
             s = self._npt_baro_half(s)
             s = self._npt_baro_thermo(s, dt)
@@ -261,24 +299,34 @@ class Simulator:
                 "images. Replicate the scene first "
                 "(meng_zhang_tpu.geometry.lattice.replicate_data / min_replicas).")
         dtype = x.dtype
+        # own the buffers: run_device donates the state, so caller-held
+        # arrays placed in it directly would be deleted under the caller
+        x = jnp.array(x, copy=True)
+        box = jnp.array(box, copy=True)
         key = jax.random.PRNGKey(seed)
         if v is None:
             key, sub = jax.random.split(key)
             t0 = self.cfg.t_target if t_init is None else t_init
             v = create_velocities(sub, self.masses.astype(dtype), t0, dtype)
+        else:
+            v = jnp.array(v, copy=True)
         nbrs = self.build_nbrs(x, box)
         # break the ref_x <-> x buffer aliasing: run_device donates the
         # state, and donating one buffer reachable through two leaves is a
         # runtime error
         nbrs = nbrs._replace(ref_x=jnp.copy(x))
-        pe, f, w = self._eval_force(x, box, nbrs)
+        short = None
+        if self.short_build is not None:
+            short = self.short_build(x, box, nbrs)
+            short = short._replace(ref_x=jnp.copy(x))
+        pe, f, w = self._eval_force(x, box, nbrs, short)
         return MDState(
             x=x, v=v, f=f, box=box, pe=pe, virial=w, nbrs=nbrs,
             nhc=I.NHCState.zeros(self.cfg.nhc_len, dtype),
             v_eps=jnp.zeros(3, dtype), baro_nhc=I.NHCState.zeros(self.cfg.pchain, dtype),
             key=key, step=jnp.asarray(0, jnp.int32),
             overflow=jnp.copy(nbrs.overflow), stale=jnp.asarray(False),
-            unsafe=jnp.asarray(False))
+            unsafe=jnp.asarray(False), short=short)
 
     # ---------- thermo ----------
     def thermo(self, s: MDState) -> Thermo:
@@ -314,9 +362,24 @@ class Simulator:
         footprint at 2M atoms otherwise) -- callers must rebind."""
         every = self.cfg.thermo_every
 
-        def block(s, _):
-            s = jax.lax.fori_loop(0, every, lambda i, ss: self.step(ss), s)
-            return s, self.thermo(s)
+        if self.short_build is None:
+            def block(s, _):
+                s = jax.lax.fori_loop(0, every,
+                                      lambda i, ss: self.step(ss), s)
+                return s, self.thermo(s)
+        else:
+            # refresh the short list on a fixed in-scan cadence (an
+            # unconditional refresh every short_every steps -- a lax.cond
+            # would run the refresh every step anyway once XLA flattens it)
+            se = self.cfg.short_every
+
+            def seg(_, s):
+                s = self._refresh_short(s)
+                return jax.lax.fori_loop(0, se, lambda i, ss: self.step(ss), s)
+
+            def block(s, _):
+                s = jax.lax.fori_loop(0, every // se, seg, s)
+                return s, self.thermo(s)
 
         return jax.lax.scan(block, state, None, length=n_blocks)
 
@@ -327,8 +390,16 @@ class Simulator:
         # from the pass-through x (duplicate outputs may share one buffer,
         # which the donating run_device would then reject)
         nbrs = nbrs._replace(ref_x=jax.lax.optimization_barrier(state.x))
-        return state._replace(nbrs=nbrs, stale=jnp.asarray(False),
-                              overflow=state.overflow | nbrs.overflow)
+        state = state._replace(nbrs=nbrs, stale=jnp.asarray(False),
+                               overflow=state.overflow | nbrs.overflow)
+        if self.short_build is not None:
+            # short.ref_x is fixed up EAGERLY by the caller (run): a second
+            # optimization_barrier(state.x) output here would be CSE'd into
+            # the same buffer as nbrs.ref_x, which the donating run_device
+            # then consumes twice
+            state = state._replace(
+                short=self.short_build(state.x, state.box, nbrs))
+        return state
 
     def run(self, state: MDState, n_blocks: int):
         """Advance n_blocks x thermo_every steps, rebuilding the neighbor
@@ -341,6 +412,11 @@ class Simulator:
             thermos.append(th)
             if bool(state.stale):
                 state = self._rebuild(state)
+                if self.short_build is not None:
+                    # break the short.ref_x <-> x / nbrs.ref_x buffer
+                    # aliasing before the next donating run_device call
+                    state = state._replace(short=state.short._replace(
+                        ref_x=jnp.copy(state.x)))
                 self.rebuild_count += 1
         return state, jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs), *thermos)

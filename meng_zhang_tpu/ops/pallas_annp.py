@@ -24,6 +24,7 @@ tile-padded to 128).
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -525,6 +526,23 @@ def _run_force_harm(dxx, dxy, dxz, dedg_rad, b, cfg_key):
     )(dxx, dxy, dxz, dedg_rad, b)
 
 
+class ShortList(NamedTuple):
+    """Refresh-static short-neighbor list (see PallasAnnp.compact_short).
+
+    Built every few steps from the skin list by compacting each row to its
+    entries within rc + short_delta; between refreshes the per-step force
+    evaluation is just gather + kernels + one delivery sort -- the per-step
+    distance test and row compaction of the round-2 repack are gone.
+    Measured on the v5e (artifacts/delivery_bench2.txt): the Ks=128 gather
+    costs 55 ms where the per-step K=256 repack cost 124 ms.
+    """
+    sidx: jax.Array      # [P, Ks] partner index, n for filler lanes
+    akey: jax.Array      # [P, Ks] banded delivery key (see _pair_dx_repacked)
+    ok: jax.Array        # [P, Ks] entry was within rc+delta at compaction
+    ref_x: jax.Array     # [N, 3] positions at compaction (staleness check)
+    overflow: jax.Array  # bool: some row had > Ks entries within rc+delta
+
+
 class PallasAnnp:
     """Fused-kernel evaluator for a single-element Chebyshev ANNP model.
 
@@ -535,8 +553,13 @@ class PallasAnnp:
     O(K^2) angular kernels run at K=128 (one lane tile) instead of 256 --
     a 4x FLOP cut on the dominant work. None disables the repack."""
 
-    def __init__(self, cfg, params, k_short=128, angular="harmonic"):
+    def __init__(self, cfg, params, k_short=128, angular="harmonic",
+                 short_delta=0.3):
         self.k_short = k_short
+        # inner skin for the refresh-static short list (compact_short):
+        # entries within rc + short_delta are kept, so the list stays valid
+        # while no atom moves more than short_delta/2 since compaction
+        self.short_delta = short_delta
         # memory-lean assembly threshold (elements); production crosses it
         # only above ~1.3M atoms, so tests/test_pallas_annp.py sets it to 0
         # to exercise the per-component-sort branch at small sizes
@@ -585,11 +608,12 @@ class PallasAnnp:
         """
         n = x.shape[0]
         k = nbr_idx.shape[1]
-        n_pad = -(-n // TILE) * TILE
+        n_pad = max(-(-n // TILE) * TILE, nbr_idx.shape[0])
         idx = nbr_idx
-        if n_pad != n:
+        if idx.shape[0] != n_pad:
             idx = jnp.concatenate(
-                [idx, jnp.full((n_pad - n, idx.shape[1]), n, jnp.int32)])
+                [idx, jnp.full((n_pad - idx.shape[0], idx.shape[1]), n,
+                               jnp.int32)])
         xi_all = x if n_pad == n else jnp.concatenate(
             [x, jnp.zeros((n_pad - n, 3), x.dtype)])
         x8 = jnp.pad(x, ((0, 1), (0, 5)))                  # [N+1, 8]
@@ -904,6 +928,159 @@ class PallasAnnp:
             own = -jnp.sum(fj[:n], axis=1)
             f.append(own + jnp.sum(part.reshape(p, ks)[:n], axis=1))
         return jnp.stack(f, axis=1)
+
+    def _compact_block(self, x8, n, k, box, rc_s, idx_c, rev_c, xi_c, i0):
+        """One row-chunk of compact_short: distance-test the skin rows at
+        rc + short_delta and pack the hits to their in-cutoff prefix with a
+        stable 2-operand row sort (no displacement payloads -- the per-step
+        evaluation re-gathers positions anyway)."""
+        ks = self.k_short
+        xj = x8[jnp.minimum(idx_c, n)]                 # [C, K, 8]
+        valid = idx_c < n
+        rsq = jnp.zeros(idx_c.shape, x8.dtype)
+        for d in range(3):
+            c = xi_c[:, d][:, None] - xj[:, :, d]
+            if self.pbc[d]:
+                c = c - box[d] * jnp.round(c / box[d])
+            c = jnp.where(valid, c, 2.0 * box[d] + 10.0)
+            rsq = rsq + c * c
+        mask = valid & (rsq < rc_s * rc_s) & (rsq > 1.0e-12)
+        counts = jnp.sum(mask.astype(jnp.int32), axis=1)
+        packed = jnp.minimum(idx_c, n) * 512 + jnp.minimum(rev_c, k)
+        key = 1 - mask.astype(jnp.int32)
+        _, pk_ = jax.lax.sort((key, packed), dimension=1, num_keys=1)
+        pk_ = pk_[:, :ks]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (idx_c.shape[0], ks), 1)
+        rows = i0 + jax.lax.broadcasted_iota(
+            jnp.int32, (idx_c.shape[0], ks), 0)
+        ok = lane < counts[:, None]
+        j_c = pk_ // 512
+        t_c = pk_ - j_c * 512
+        akey = jnp.where(ok & (t_c < k),
+                         j_c * (2 * k) + t_c,
+                         rows * (2 * k) + k + lane)
+        sidx = jnp.where(ok, jnp.minimum(j_c, n), n)
+        return sidx, akey, ok, jnp.any(counts > ks)
+
+    def compact_short(self, x, box, nbr_idx, rev_slots, row_chunk=8192):
+        """Build the refresh-static ShortList from the skin list.
+
+        Each skin row is compacted to its entries within rc + short_delta
+        (stable slot order, same banded delivery-key construction as
+        _pair_dx_repacked, so one flat sort still delivers every pair
+        contribution). The list stays valid while no atom has moved more
+        than short_delta/2 since this call: a pair outside rc + delta needs
+        two half-delta moves to enter rc, and entries that drift past rc
+        merely evaluate to fc = 0. Callers refresh on that displacement
+        criterion (md/simulation.py runs it on a fixed in-scan cadence with
+        an exact per-step unsafe check).
+
+        TPU equivalent of running k_annp_short_nbor (fe/lib/lal_annp.cu:
+        267-344) once per neighbor-list epoch instead of once per step.
+        """
+        n = x.shape[0]
+        k = nbr_idx.shape[1]
+        assert k <= 512, "int32 (row, slot) packing assumes capacity <= 512"
+        rc_s = dict(self.cfg_key)["rc"] + self.short_delta
+        n_pad = -(-n // TILE) * TILE
+        c_pad = -(-n_pad // row_chunk) * row_chunk
+
+        idx = _padr(nbr_idx, c_pad, n)
+        rev = _padr(rev_slots, c_pad, k)
+        xi_all = _padr(x, c_pad, 0.0)
+        x8 = jnp.pad(x, ((0, 1), (0, 5)))
+        block = functools.partial(self._compact_block, x8, n, k, box, rc_s)
+
+        if c_pad <= row_chunk:
+            sidx, akey, ok, ovf = block(idx, rev, xi_all,
+                                        jnp.asarray(0, jnp.int32))
+            return ShortList(sidx[:n_pad], akey[:n_pad], ok[:n_pad], x, ovf)
+        nb = c_pad // row_chunk
+        outs = jax.lax.map(
+            lambda a: block(*a),
+            (idx.reshape(nb, row_chunk, k), rev.reshape(nb, row_chunk, k),
+             xi_all.reshape(nb, row_chunk, 3),
+             jnp.arange(nb, dtype=jnp.int32) * row_chunk))
+        ks = self.k_short
+        sidx, akey = (o.reshape(c_pad, ks)[:n_pad] for o in outs[:2])
+        ok = outs[2].reshape(c_pad, ks)[:n_pad]
+        return ShortList(sidx, akey, ok, x, jnp.any(outs[3]))
+
+    def _eval_pipeline_sl(self, x, box, sl, want_virial, row_chunk=65536):
+        """Chunked short-path evaluation for multi-million-atom scenes:
+        gather + kernels + virial per row chunk inside one lax.map (same
+        memory rationale as _eval_pipeline)."""
+        n = x.shape[0]
+        p = sl.sidx.shape[0]
+        ks = sl.sidx.shape[1]
+        row_chunk = min(row_chunk, p)
+        c_pad = -(-p // row_chunk) * row_chunk
+        sidx = _padr(sl.sidx, c_pad, n)
+        ok = _padr(sl.ok, c_pad, False)
+        x8 = jnp.pad(x, ((0, 1), (0, 5)))
+        xi_all = _padr(x, c_pad, 0.0)
+        nb = c_pad // row_chunk
+
+        def block(args):
+            idx_c, ok_c, xi_c = args
+            xj = x8[jnp.minimum(idx_c, n)]
+            valid = idx_c < n
+            dd = []
+            for d in range(3):
+                c = xi_c[:, d][:, None] - xj[:, :, d]
+                if self.pbc[d]:
+                    c = c - box[d] * jnp.round(c / box[d])
+                dd.append(jnp.where(valid, c, 2.0 * box[d] + 10.0))
+            eat, (fjx, fjy, fjz) = self._eval_fj(*dd)
+            outs = [eat, fjx, fjy, fjz]
+            if want_virial:
+                m = ok_c.astype(x.dtype)
+                outs.append(jnp.asarray(
+                    [[-jnp.sum(da * fb * m) for fb in (fjx, fjy, fjz)]
+                     for da in dd]))
+            return tuple(outs)
+
+        outs = jax.lax.map(
+            block, (sidx.reshape(nb, row_chunk, ks),
+                    ok.reshape(nb, row_chunk, ks),
+                    xi_all.reshape(nb, row_chunk, 3)))
+        eat = outs[0].reshape(c_pad)[:p]
+        fjx, fjy, fjz = (o.reshape(c_pad, ks)[:p] for o in outs[1:4])
+        w = None
+        if want_virial:
+            w = jnp.sum(outs[4], axis=0)
+            w = 0.5 * (w + w.T)
+        return eat, fjx, fjy, fjz, w
+
+    def energy_forces_short(self, x, box, sl: ShortList, want_virial=False,
+                            shift=True):
+        """Per-step evaluation against a refresh-static ShortList: one
+        position gather + kernels + one delivery sort. See compact_short
+        for validity; short-list compaction overflow poisons the outputs
+        (same contract as energy_forces)."""
+        n = x.shape[0]
+        ks = sl.sidx.shape[1]
+        if n > self.pipeline_rows:
+            eat, fjx, fjy, fjz, w = self._eval_pipeline_sl(
+                x, box, sl, want_virial)
+        else:
+            dxx, dxy, dxz = self._pair_dx(x, box, sl.sidx)
+            eat, (fjx, fjy, fjz) = self._eval_fj(dxx, dxy, dxz)
+            w = None
+            if want_virial:
+                m = sl.ok.astype(x.dtype)
+                w = jnp.asarray(
+                    [[-jnp.sum(da * fb * m) for fb in (fjx, fjy, fjz)]
+                     for da in (dxx, dxy, dxz)])
+                w = 0.5 * (w + w.T)
+        forces = self._assemble(fjx, fjy, fjz, sl.akey, sl.ok, n, ks)
+        e_shift = dict(self.cfg_key)["e_shift"]
+        e = jnp.sum(eat[:n] - e_shift)
+        if shift:
+            e = e + n * e_shift
+        e = jnp.where(sl.overflow, jnp.nan, e)
+        forces = jnp.where(sl.overflow, jnp.nan, forces)
+        return (e, forces, w) if want_virial else (e, forces)
 
     def energy_dedg(self, x, box, nbr_idx):
         n = x.shape[0]

@@ -208,3 +208,42 @@ def test_fire_minimizer(anna_pot):
     st = fire_minimize(force_fn, x, box, nbrs.idx, f_tol=5e-3, max_iter=800)
     assert float(st.fmax) < 5e-3
     assert float(st.pe) < float(e0)
+
+
+def test_short_list_driver_matches_full_path(fe_pot):
+    """Simulator with the refresh-static ShortList fast path (short_build +
+    in-scan refresh cadence) reproduces the full-path trajectory, including
+    across a mid-run refresh and a staleness rebuild."""
+    from meng_zhang_tpu.ops.pallas_annp import PallasAnnp
+
+    mcfg, params = make_annp(fe_pot, dtype=jnp.float64)
+    x, box = bcc(5)
+    masses = jnp.full(x.shape[0], MASS_FE, jnp.float64)
+    pk = PallasAnnp(mcfg, params, k_short=160, short_delta=0.3)
+
+    def force_full(xx, bb, nbrs):
+        return pk.energy_forces(xx, bb, nbrs.idx, nbrs.rev, want_virial=True)
+
+    def force_short(xx, bb, nbrs, short):
+        return pk.energy_forces_short(xx, bb, short, want_virial=True)
+
+    kw = dict(dt=0.001, cutoff=6.5, skin=0.6, capacity=256, nbr_method="n2",
+              ensemble="nve", thermo_every=10, with_rev=True)
+    sim0 = Simulator(force_full, masses, MDConfig(**kw))
+    sim1 = Simulator(force_short, masses,
+                     MDConfig(**kw, short_every=5, short_skin=0.3),
+                     short_build=lambda xx, bb, nbrs: pk.compact_short(
+                         xx, bb, nbrs.idx, nbrs.rev))
+    st0 = sim0.init_state(x, box, seed=3, t_init=600.0)
+    st1 = sim1.init_state(x, box, seed=3, t_init=600.0)
+    np.testing.assert_allclose(np.asarray(st1.f), np.asarray(st0.f),
+                               rtol=1e-9, atol=1e-11)
+    st0, th0 = sim0.run(st0, 4)                 # 40 steps at 600 K
+    st1, th1 = sim1.run(st1, 4)
+    assert not bool(st1.overflow) and not bool(st1.unsafe)
+    np.testing.assert_allclose(np.asarray(th1.pe), np.asarray(th0.pe),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(th1.temp), np.asarray(th0.temp),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(st1.x), np.asarray(st0.x),
+                               rtol=1e-9, atol=1e-9)

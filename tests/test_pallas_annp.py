@@ -171,3 +171,84 @@ def test_reverse_slots_property(setup):
             if j < n:
                 assert rev[a, s] < k
                 assert idx[j, rev[a, s]] == a
+
+
+def test_static_short_list_parity(fe_pot):
+    """ShortList path (compact once, evaluate) == full evaluation at the
+    compaction positions: the extra (rc, rc+delta] entries carry fc = 0."""
+    cfg, params = make_annp(fe_pot, dtype=jnp.float64)
+    x, box = perturbed_bcc(n_cells=3)
+    x, box = jnp.asarray(x), jnp.asarray(box)
+    nbrs = build_neighbors_n2(x, box, cfg.cut + 1.2, 256, with_rev=True)
+    pk = PallasAnnp(cfg, params, k_short=160, short_delta=0.3)
+    e0, f0, w0 = pk.energy_forces(x, box, nbrs.idx, nbrs.rev,
+                                  want_virial=True)
+    sl = pk.compact_short(x, box, nbrs.idx, nbrs.rev)
+    assert not bool(sl.overflow)
+    e1, f1, w1 = pk.energy_forces_short(x, box, sl, want_virial=True)
+    np.testing.assert_allclose(float(e1), float(e0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w0),
+                               rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(jnp.sum(f1, axis=0)), np.zeros(3),
+                               atol=1e-10)
+
+
+def test_static_short_list_valid_after_drift(fe_pot):
+    """A ShortList stays exact while every atom has moved < delta/2 since
+    compaction -- including pairs that cross rc in either direction."""
+    cfg, params = make_annp(fe_pot, dtype=jnp.float64)
+    x0, box = perturbed_bcc(n_cells=3)
+    x0, box = jnp.asarray(x0), jnp.asarray(box)
+    rng = np.random.default_rng(7)
+    # displacements up to 0.14 A < delta/2 = 0.15 A
+    d = rng.uniform(-1, 1, size=x0.shape)
+    d *= 0.14 / np.abs(d).sum(axis=1).max()
+    x1 = x0 + jnp.asarray(d)
+    nbrs = build_neighbors_n2(x0, box, cfg.cut + 1.2, 256, with_rev=True)
+    pk = PallasAnnp(cfg, params, k_short=160, short_delta=0.3)
+    sl = pk.compact_short(x0, box, nbrs.idx, nbrs.rev)
+    e1, f1, w1 = pk.energy_forces_short(x1, box, sl, want_virial=True)
+    # reference: fresh full evaluation at x1
+    nbrs1 = build_neighbors_n2(x1, box, cfg.cut + 1.2, 256, with_rev=True)
+    e0, f0, w0 = pk.energy_forces(x1, box, nbrs1.idx, nbrs1.rev,
+                                  want_virial=True)
+    np.testing.assert_allclose(float(e1), float(e0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w0),
+                               rtol=1e-9, atol=1e-10)
+
+
+def test_static_short_list_pipeline_parity(fe_pot):
+    """The chunked large-N short path (_eval_pipeline_sl) == the unfused
+    short path."""
+    cfg, params = make_annp(fe_pot, dtype=jnp.float64)
+    x, box = perturbed_bcc(n_cells=3)
+    x, box = jnp.asarray(x), jnp.asarray(box)
+    nbrs = build_neighbors_n2(x, box, cfg.cut + 1.2, 256, with_rev=True)
+    pk = PallasAnnp(cfg, params, k_short=160, short_delta=0.3)
+    sl = pk.compact_short(x, box, nbrs.idx, nbrs.rev, row_chunk=16)
+    e0, f0, w0 = pk.energy_forces_short(x, box, sl, want_virial=True)
+    pk2 = PallasAnnp(cfg, params, k_short=160, short_delta=0.3)
+    pk2.pipeline_rows = 0
+    e1, f1, w1 = pk2.energy_forces_short(x, box, sl, want_virial=True)
+    np.testing.assert_allclose(float(e1), float(e0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w0),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_static_short_list_overflow_poisons(fe_pot):
+    cfg, params = make_annp(fe_pot, dtype=jnp.float64)
+    x, box = perturbed_bcc(n_cells=3)
+    x, box = jnp.asarray(x), jnp.asarray(box)
+    nbrs = build_neighbors_n2(x, box, cfg.cut + 1.2, 256, with_rev=True)
+    pk = PallasAnnp(cfg, params, k_short=16, short_delta=0.3)
+    sl = pk.compact_short(x, box, nbrs.idx, nbrs.rev)
+    assert bool(sl.overflow)
+    e, f = pk.energy_forces_short(x, box, sl)
+    assert not np.isfinite(float(e))
+    assert not np.all(np.isfinite(np.asarray(f)))
