@@ -9,7 +9,9 @@ per-phase shares, so optimization effort lands on the top item instead of
 a guess.
 
 Phases:
-  repack     _pair_dx_repacked (chunked gather + short-neighbor sort)
+  compact    compact_short (refresh of the static short list, amortized
+             over cfg.short_every steps in production)
+  gather     _pair_dx on the short list (the per-step position gather)
   g_kernel   _run_g_harm (radial Chebyshev + harmonic ladder, Pallas)
   mlp        _mlp_eat_dedg_harm (XLA tiny MLP + B coefficients)
   f_kernel   _run_force_harm (per-pair forces, Pallas)
@@ -86,22 +88,25 @@ def main():
     pot = read_ann(os.path.join(base, "fe_annp_potential_2.ann"))
     pbc = (False, True, False)
     mcfg, params = make_annp(pot, pbc=pbc)
-    pk = P.PallasAnnp(mcfg, params)
+    pk = P.PallasAnnp(mcfg, params, short_delta=0.3)
     n = d.n
     x = jnp.asarray(d.x, jnp.float32)
     box = jnp.asarray(d.box, jnp.float32)
     skin = 1.2
     rlist = mcfg.cut + skin
     dims = cell_grid_dims(np.asarray(d.box) * 0.92, rlist)
-    cfg = MDConfig(dt=0.001, cutoff=mcfg.cut, skin=skin, capacity=256,
+    cfg = MDConfig(dt=0.001, cutoff=mcfg.cut, skin=skin, capacity=192,
                    nbr_method="cell", cell_dims=dims, cell_capacity=96,
                    ensemble="npt", t_target=300.0, tau_t=0.1,
                    p_target=(0.0,) * 3, p_couple=(False, True, False),
-                   tau_p=1.0, thermo_every=10, with_rev=True, pbc=pbc)
+                   tau_p=1.0, thermo_every=10, with_rev=True, pbc=pbc,
+                   short_every=10, short_skin=pk.short_delta)
     sim = Simulator(
-        lambda xx, bb, nbrs: pk.energy_forces(xx, bb, nbrs.idx, nbrs.rev,
-                                              want_virial=True, shift=False),
-        jnp.full(n, MASS_FE, jnp.float32), cfg)
+        lambda xx, bb, nbrs, short: pk.energy_forces_short(
+            xx, bb, short, want_virial=True, shift=False),
+        jnp.full(n, MASS_FE, jnp.float32), cfg,
+        short_build=lambda xx, bb, nbrs: pk.compact_short(xx, bb, nbrs.idx,
+                                                          nbrs.rev))
 
     log(f"scene: {n} atoms; building neighbors...")
     t, nbrs = timeit(jax.jit(sim.build_nbrs), x, box, reps=5, warmup=1)
@@ -112,12 +117,17 @@ def main():
     # neighbor tables ride as jit ARGUMENTS everywhere: a [152880,256] idx
     # captured as a closure constant is 156 MB baked into the program and
     # blows the axon remote-compile request limit (HTTP 413)
-    rep = jax.jit(lambda xx, bb, ii, rr: pk._pair_dx_repacked(xx, bb, ii,
-                                                              rr))
-    t, out = timeit(rep, x, box, nbrs.idx, nbrs.rev)
-    res["repack"] = t
-    dxx, dxy, dxz, akey, ok, ovf = out
-    log(f"repack: {t * 1e3:.1f} ms  overflow={bool(ovf)}")
+    comp = jax.jit(lambda xx, bb, ii, rr: pk.compact_short(xx, bb, ii, rr))
+    t, sl = timeit(comp, x, box, nbrs.idx, nbrs.rev)
+    res["compact"] = t
+    log(f"compact_short (refresh): {t * 1e3:.1f} ms  "
+        f"overflow={bool(sl.overflow)}")
+
+    gat = jax.jit(lambda xx, bb, ss: pk._pair_dx(xx, bb, ss))
+    t, (dxx, dxy, dxz) = timeit(gat, x, box, sl.sidx)
+    res["gather"] = t
+    akey, ok = sl.akey, sl.ok
+    log(f"gather (short dx): {t * 1e3:.1f} ms")
 
     g = jax.jit(lambda a, b, c: P._run_g_harm(a, b, c, pk.cfg_key))
     t, (g_raw, a_pad) = timeit(g, dxx, dxy, dxz)
@@ -154,10 +164,9 @@ def main():
     res["virial"] = t
     log(f"virial: {t * 1e3:.1f} ms")
 
-    ef = jax.jit(lambda xx, bb, ii, rr: pk.energy_forces(xx, bb, ii, rr,
-                                                         want_virial=True,
-                                                         shift=False))
-    t, _ = timeit(ef, x, box, nbrs.idx, nbrs.rev)
+    ef = jax.jit(lambda xx, bb, ss: pk.energy_forces_short(
+        xx, bb, ss, want_virial=True, shift=False))
+    t, _ = timeit(ef, x, box, sl)
     res["energy_forces"] = t
     log(f"energy_forces (full): {t * 1e3:.1f} ms")
 
@@ -178,7 +187,8 @@ def main():
     tot = res["step_block"]
     shares = {k: round(v / tot, 4) for k, v in res.items()}
     out = {
-        "scene": f"{n}-atom in.st_test NPT, skin {skin}, K=256->{pk.k_short}",
+        "scene": f"{n}-atom in.st_test NPT, skin {skin}, K=192, static "
+                 f"short Ks={pk.k_short} delta={pk.short_delta} every={cfg.short_every}",
         "times_s": {k: round(v, 6) for k, v in res.items()},
         "share_of_step": shares,
         "atom_steps_per_s_step": round(n / res["step_block"], 1),
