@@ -83,7 +83,18 @@ class ShardState(NamedTuple):
     step: jax.Array       # (replicated)
     stale: jax.Array      # [D] rebuild wanted
     unsafe: jax.Array     # [D] sticky: drift crossed skin/2 pre-rebuild
-    overflow: jax.Array   # [D] sticky: capacity/coverage violation
+    overflow: jax.Array   # [D] int32 sticky bitmask: 1 = neighbor-capacity
+                          # overflow, 2 = frame x-extent exceeded,
+                          # 4 = halo coverage proof violated (see
+                          # OVF_* constants); 0 = healthy
+
+
+# overflow bitmask bits (ShardState.overflow) -- a sticky nonzero value
+# means the run is invalid; the bits say WHY (the reference's analogue is
+# LAMMPS' "neighbor list overflow" / "lost atoms" errors, which abort)
+OVF_NEIGHBOR = 1   # a neighbor row exceeded capacity K
+OVF_FRAME = 2      # an atom left the static frame x-extent
+OVF_COVERAGE = 4   # the rebuild-time halo coverage proof failed
 
 
 def _state_specs():
@@ -364,7 +375,7 @@ class ShardedMD:
             baro_nhc=I.NHCState.zeros(cfg.pchain, dtype),
             step=jnp.asarray(0, jnp.int32),
             stale=jnp.zeros(D, bool), unsafe=jnp.zeros(D, bool),
-            overflow=jnp.zeros(D, bool))
+            overflow=jnp.zeros(D, jnp.int32))
         st = self._shard(st)
         st = self.rebuild(st)
         st = self.refill_forces(st)
@@ -563,7 +574,10 @@ class ShardedMD:
             bad_cover = (check(2, 3, ctr_min, ctr_max, C > B)
                          | check(4, 5, loc_min, loc_max, C > bc))
 
-        ovf = st.overflow[0] | nl.overflow | out_of_frame | bad_cover
+        ovf = (st.overflow[0]
+               | jnp.where(nl.overflow, OVF_NEIGHBOR, 0)
+               | jnp.where(out_of_frame, OVF_FRAME, 0)
+               | jnp.where(bad_cover, OVF_COVERAGE, 0)).astype(jnp.int32)
         return st._replace(
             idx=idx_c[None], rev=rev_c[None], ref_loc=x[None],
             stale=jnp.zeros((1,), bool), overflow=ovf[None])
@@ -767,5 +781,5 @@ class ShardedMD:
         st2 = st2._replace(
             nhc=st.nhc, v_eps=st.v_eps, baro_nhc=st.baro_nhc, step=st.step,
             unsafe=st2.unsafe | jnp.any(st.unsafe),
-            overflow=st2.overflow | jnp.any(st.overflow))
+            overflow=st2.overflow | jnp.max(st.overflow))
         return st2, order2

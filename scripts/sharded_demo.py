@@ -59,18 +59,17 @@ def main():
     D = args.devices
     k_short = 128
 
+    # halo_b/capacity are auto-derived by ShardedMD._auto_geometry from the
+    # scene (VERDICT r2 item 6: demos must not hand-compute halo sizes)
+    skin = 0.8
     if args.scene == "small":
-        # bcc 40x5x5 = 2000 atoms (y,z = 14.28 A >= 2*rlist for the
-        # single-image convention); 17.5 atoms/A of x, rlist = 7.3 A ->
-        # bc >= 128 rows; 4 devices so c_loc = 500 >= halo_b = 288
-        cells, steps = [40, 5, 5], args.steps or 1000
-        halo_b, capacity, skin = 288, 176, 0.8
+        # bcc 28x6x6 = 2016 atoms (y,z = 17.13 A > 2*rlist = 14.60 for the
+        # single-chip single-image convention); 4 devices, c_loc = 504
+        cells, steps = [28, 6, 6], args.steps or 1000
         chunk = 128
         D = min(D, 4)
     else:
         cells, steps = [125, 20, 20], args.steps or 30
-        # 280 atoms/A of x; rlist = 7.3 A -> bc >= 2050 rows
-        halo_b, capacity, skin = 4608, 176, 0.8
         chunk = 512
     x_np, box_np = bcc(cells)
     n = len(x_np)
@@ -86,7 +85,7 @@ def main():
 
     model = XlaFrameModel(mcfg, params, chunk=chunk, k_short=k_short)
     scfg = ShardConfig(
-        n_devices=D, c_loc=n // D, halo_b=halo_b, capacity=capacity,
+        n_devices=D, c_loc=n // D,
         cutoff=mcfg.cut, skin=skin, dt=0.001, ensemble="npt",
         t_target=300.0, tau_t=0.1, p_target=(0.0,) * 3,
         p_couple=(True, True, True), tau_p=1.0, thermo_every=thermo,
@@ -94,9 +93,11 @@ def main():
     md = ShardedMD(model, MASS_FE, box, scfg)
     t0 = time.time()
     st, order = md.distribute(x, v0)
-    assert not bool(jnp.any(st.overflow)), "coverage/capacity overflow"
+    ovf = int(jnp.max(st.overflow))
+    assert ovf == 0, f"coverage/capacity overflow bitmask={ovf}"
     log(f"distribute: {time.time() - t0:.1f}s  frame_wx={md.frame_wx:.1f}"
-        f" dims={md.frame_dims}")
+        f" dims={md.frame_dims}  halo_b={md.cfg.halo_b}"
+        f" capacity={md.cfg.capacity}")
     t0 = time.time()
     st, th = md.run(st, 1)
     log(f"first block (compile): {time.time() - t0:.1f}s")
@@ -132,7 +133,7 @@ def main():
         rlist = mcfg.cut + skin
         dims = cell_grid_dims(np.asarray(box_np) * 0.95, rlist)
         cfg1 = MDConfig(dt=0.001, cutoff=mcfg.cut, skin=skin,
-                        capacity=capacity,
+                        capacity=md.cfg.capacity,
                         nbr_method="n2", ensemble="npt", t_target=300.0,
                         tau_t=0.1, p_target=(0.0,) * 3,
                         p_couple=(True, True, True), tau_p=1.0,
@@ -155,17 +156,28 @@ def main():
         st1, th1 = sim.run(st1, n_blocks + 1)
         log(f"single-chip reference: {time.time() - t0:.1f}s, "
             f"rebuilds={sim.rebuild_count}")
-        tempd = np.abs(np.asarray(th1.temp)[1:] - np.asarray(sharded["temp"]))
-        ped = np.abs((np.asarray(th1.pe)[1:] + pe_off)
-                     - np.asarray(sharded["pe"]))
+        t1 = np.asarray(th1.temp)[1:]
+        p1 = np.asarray(th1.pe)[1:] + pe_off
+        ts = np.asarray(sharded["temp"])
+        ps = np.asarray(sharded["pe"])
+        tempd, ped = np.abs(t1 - ts), np.abs(p1 - ps)
+        w = min(20, len(tempd))          # first 100 steps: deterministic
         out["parity"] = {
-            "temp_max_abs_K": float(np.max(tempd)),
-            "pe_max_abs_eV": float(np.max(ped)),
-            "pe_per_atom_max_abs": float(np.max(ped)) / n,
+            # early window: the two f32 trajectories have not yet diverged
+            # chaotically -- this is the 1-vs-N correctness check
+            "first100_temp_max_abs_K": float(np.max(tempd[:w])),
+            "first100_pe_max_abs_eV": float(np.max(ped[:w])),
+            # full run: statistical agreement of the NPT ensembles (f32
+            # chaos makes per-step max-abs meaningless at 1000 steps)
+            "run_temp_mean_diff_K": float(np.mean(t1) - np.mean(ts)),
+            "run_pe_mean_diff_eV": float(np.mean(p1) - np.mean(ps)),
+            "run_temp_max_abs_K": float(np.max(tempd)),
             "single_chip_rebuilds": sim.rebuild_count,
         }
-        log(f"parity: dT_max={out['parity']['temp_max_abs_K']:.3g} K  "
-            f"dPE_max={out['parity']['pe_max_abs_eV']:.3g} eV")
+        log(f"parity: first100 dT_max="
+            f"{out['parity']['first100_temp_max_abs_K']:.3g} K  "
+            f"dPE_max={out['parity']['first100_pe_max_abs_eV']:.3g} eV; "
+            f"run mean dT={out['parity']['run_temp_mean_diff_K']:.3g} K")
 
     os.makedirs(ART, exist_ok=True)
     path = os.path.join(ART, f"sharded_{args.scene}.json")
