@@ -37,8 +37,17 @@ def run_md(x_np, box_np, pbc, ensemble, couple, steps, thermo, mcfg, params,
 
     # short_delta=0.4 is free: bcc-Fe has no shell between 6.5 and
     # ~6.98 A (measured max in-6.9A count 112 on this scene), and
-    # 0.2 A of drift covers the 10-step refresh epoch
-    pk = PallasAnnp(mcfg, params, short_delta=0.4)
+    # 0.2 A of drift covers the 10-step refresh epoch (thermal 5th-shell
+    # pairs inside 6.9 A ride the colored path's residual lanes)
+    coloring = None
+    try:
+        from meng_zhang_tpu.ops.pair_coloring import build_coloring
+        coloring = build_coloring(pbc, np.asarray(box_np))
+        log(f"pair coloring: palette {coloring.n_colors} colors, "
+            f"grid {coloring.p0}")
+    except ValueError as e:
+        log(f"pair coloring unavailable ({e}); banded delivery")
+    pk = PallasAnnp(mcfg, params, short_delta=0.4, coloring=coloring)
 
     def force_fn(xx, bb, nbrs, short):
         return pk.energy_forces_short(xx, bb, short, want_virial=True,
@@ -46,6 +55,11 @@ def run_md(x_np, box_np, pbc, ensemble, couple, steps, thermo, mcfg, params,
 
     def short_build(xx, bb, nbrs):
         return pk.compact_short(xx, bb, nbrs.idx, nbrs.rev)
+
+    short_build_colored = None
+    if coloring is not None:
+        def short_build_colored(xx, bb, nbrs):
+            return pk.compact_short_colored(xx, bb, nbrs.idx)
 
     rlist = mcfg.cut + skin
     # NPT shrinks the box; size the static cell grid for up to ~8% shrink
@@ -57,10 +71,13 @@ def run_md(x_np, box_np, pbc, ensemble, couple, steps, thermo, mcfg, params,
                    ensemble=ensemble, t_target=300.0, tau_t=0.1,
                    p_target=(0.0,) * 3, p_couple=couple, tau_p=1.0,
                    thermo_every=thermo, with_rev=True, pbc=pbc,
-                   short_every=10, short_skin=pk.short_delta)
+                   short_every=thermo if coloring is not None else 10,
+                   short_skin=pk.short_delta,
+                   short_host_refresh=coloring is not None)
     n = len(x_np)
     sim = Simulator(force_fn, jnp.full(n, MASS_FE, jnp.float32), cfg,
-                    short_build=short_build)
+                    short_build=short_build,
+                    short_build_colored=short_build_colored)
     x = jnp.asarray(x_np, jnp.float32)
     box = jnp.asarray(box_np, jnp.float32)
     pe_off = n * mcfg.e_shift
@@ -93,8 +110,14 @@ def run_md(x_np, box_np, pbc, ensemble, couple, steps, thermo, mcfg, params,
     # compile the rebuild path too: the first staleness rebuild otherwise
     # pays a ~30 s remote compile inside the measured window
     st = sim._rebuild(st)
-    if sim.short_build is not None:
+    if sim.short_build is not None and not cfg.short_host_refresh:
         st = st._replace(short=st.short._replace(ref_x=jnp.copy(st.x)))
+    if coloring is not None:
+        # warm the banded-fallback block program too: a mid-measurement
+        # color_bad epoch must not pay a fresh remote compile
+        sim._colored_skip = 1
+        st, th = sim.run(st, 1)
+        sim._colored_skip = 0
     float(st.pe)
     log(f"warmup block + rebuild compile: {time.time() - t0:.1f}s")
 
@@ -108,7 +131,11 @@ def run_md(x_np, box_np, pbc, ensemble, couple, steps, thermo, mcfg, params,
         f"  T={float(th.temp[-1]):.1f}K PE={float(th.pe[-1]) + pe_off:.6e}"
         f"  rebuilds={sim.rebuild_count}"
         f" ({n_blocks * thermo / max(sim.rebuild_count, 1):.0f} steps/rebuild)"
-        f" overflow={bool(st.overflow)} unsafe={bool(st.unsafe)}")
+        f" overflow={bool(st.overflow)} unsafe={bool(st.unsafe)}"
+        + (f" colored/banded blocks={sim.colored_blocks}/{sim.banded_blocks}"
+           if coloring is not None else ""))
+    for fb in getattr(sim, "color_fallbacks", [])[:6]:
+        log("  color fallback:", fb)
     assert not bool(st.overflow)
     return aps
 

@@ -98,6 +98,14 @@ class MDConfig:
                                     # > short_skin/2 since the last refresh
                                     # can let a pair enter the cutoff unseen
                                     # -- latched into `unsafe`
+    short_host_refresh: bool = False  # refresh the short list from the HOST
+                                    # at every block boundary instead of
+                                    # in-scan (requires short_every ==
+                                    # thermo_every). Lets the driver pick
+                                    # the colored or banded delivery per
+                                    # epoch (the colored compaction reports
+                                    # color_bad; a lax.cond between the two
+                                    # step programs would run both)
 
 
 def create_velocities(key, masses, t_target, dtype=jnp.float32):
@@ -119,20 +127,39 @@ class Simulator:
     """
 
     def __init__(self, force_fn: Callable, masses, cfg: MDConfig,
-                 short_build: Optional[Callable] = None):
+                 short_build: Optional[Callable] = None,
+                 short_build_colored: Optional[Callable] = None):
         """short_build(x, box, nbrs) -> short-list pytree (with .ref_x and
         .overflow leaves) enables the refresh-static short-list fast path:
         force_fn is then called as force_fn(x, box, nbrs, short) and the
-        short list is refreshed every cfg.short_every steps in-scan."""
+        short list is refreshed every cfg.short_every steps in-scan.
+
+        short_build_colored (requires cfg.short_host_refresh): the colored
+        variant (PallasAnnp.compact_short_colored). Each block, run() tries
+        it first and falls back to short_build for the epoch when its
+        color_bad flag trips (defected / incommensurate regions), with a
+        2-block retry hysteresis. run_device re-specializes per mode from
+        the short pytree structure."""
         self.force_fn = force_fn
         self.masses = masses
         self.cfg = cfg
         self.short_build = short_build
+        self.short_build_colored = short_build_colored
         if short_build is not None:
             assert cfg.short_every > 0 and cfg.short_skin > 0.0, \
                 "short_build requires cfg.short_every and cfg.short_skin"
             assert cfg.thermo_every % cfg.short_every == 0, \
                 "short_every must divide thermo_every"
+        if short_build_colored is not None:
+            assert short_build is not None, "colored needs a banded fallback"
+            assert cfg.short_host_refresh and \
+                cfg.short_every == cfg.thermo_every, \
+                "colored delivery needs host-side per-block refresh"
+        if cfg.short_host_refresh:
+            assert cfg.short_every == cfg.thermo_every
+        self._colored_skip = 0
+        self.colored_blocks = 0
+        self.banded_blocks = 0
         n = masses.shape[0]
         self.ndof = 3 * n - 3
         self.n = n
@@ -213,10 +240,16 @@ class Simulator:
         if self.short_build is not None:
             # exact dangerous-build criterion for the short-list epoch: an
             # atom moving > short_skin/2 since the refresh can carry a pair
-            # into the cutoff unseen
+            # into the cutoff unseen. Colored epochs also bound the drift
+            # under which their dropped off-table pairs provably stay
+            # outside the cutoff (ShortList.guard) -- take the tighter one.
             msq_s = max_displacement_sq(
                 nbrs._replace(ref_x=s.short.ref_x), x, box, self.cfg.pbc)
-            unsafe = unsafe | (msq_s > (0.5 * self.cfg.short_skin) ** 2)
+            lim = jnp.asarray((0.5 * self.cfg.short_skin) ** 2, msq_s.dtype)
+            g = getattr(s.short, "guard", None)
+            if g is not None:
+                lim = jnp.minimum(lim, g * g)
+            unsafe = unsafe | (msq_s > lim)
         pe, f, w = self._eval_force(x, box, nbrs, s.short)
         v = I.vv_kick(v, f, m, 0.5 * dt)
 
@@ -362,7 +395,9 @@ class Simulator:
         footprint at 2M atoms otherwise) -- callers must rebind."""
         every = self.cfg.thermo_every
 
-        if self.short_build is None:
+        if self.short_build is None or self.cfg.short_host_refresh:
+            # host-refresh mode: run() refreshes the short list at each
+            # block top (it must read the colored compaction's color_bad)
             def block(s, _):
                 s = jax.lax.fori_loop(0, every,
                                       lambda i, ss: self.step(ss), s)
@@ -392,14 +427,45 @@ class Simulator:
         nbrs = nbrs._replace(ref_x=jax.lax.optimization_barrier(state.x))
         state = state._replace(nbrs=nbrs, stale=jnp.asarray(False),
                                overflow=state.overflow | nbrs.overflow)
-        if self.short_build is not None:
+        if self.short_build is not None and not self.cfg.short_host_refresh:
             # short.ref_x is fixed up EAGERLY by the caller (run): a second
             # optimization_barrier(state.x) output here would be CSE'd into
             # the same buffer as nbrs.ref_x, which the donating run_device
-            # then consumes twice
+            # then consumes twice. (Host-refresh mode rebuilds the short
+            # list at the next block top instead.)
             state = state._replace(
                 short=self.short_build(state.x, state.box, nbrs))
         return state
+
+    # ---------- host-side short-list refresh (colored/banded pick) ----------
+    def refresh_short_host(self, state: MDState) -> MDState:
+        """Refresh the short list from the host, preferring the colored
+        compaction and falling back to banded for the epoch when its
+        color_bad flag trips (with an 8-block retry hysteresis). One scalar
+        host readback per block -- the same sync cadence as the staleness
+        check in run()."""
+        if not hasattr(self, "_short_jit"):
+            self._short_jit = jax.jit(self.short_build)
+            if self.short_build_colored is not None:
+                self._short_colored_jit = jax.jit(self.short_build_colored)
+        if self.short_build_colored is not None:
+            if self._colored_skip == 0:
+                sh = self._short_colored_jit(state.x, state.box, state.nbrs)
+                if not bool(sh.color_bad):
+                    self.colored_blocks += 1
+                    return state._replace(
+                        short=sh._replace(ref_x=jnp.copy(state.x)))
+                d = int(sh.diag) if sh.diag is not None else -1
+                self.color_fallbacks = getattr(self, "color_fallbacks", [])
+                self.color_fallbacks.append(
+                    dict(step=int(state.step), dup=bool(d & 1),
+                         res_ovf=bool(d & 2), max_res=(d >> 3) & 0x1FF))
+                self._colored_skip = 2
+            else:
+                self._colored_skip -= 1
+        sh = self._short_jit(state.x, state.box, state.nbrs)
+        self.banded_blocks += 1
+        return state._replace(short=sh._replace(ref_x=jnp.copy(state.x)))
 
     def run(self, state: MDState, n_blocks: int):
         """Advance n_blocks x thermo_every steps, rebuilding the neighbor
@@ -407,12 +473,16 @@ class Simulator:
         device->host bool sync per block; everything else stays on device."""
         thermos = []
         self.rebuild_count = 0
+        host_short = self.short_build is not None and \
+            self.cfg.short_host_refresh
         for _ in range(n_blocks):
+            if host_short:
+                state = self.refresh_short_host(state)
             state, th = self.run_device(state, 1)
             thermos.append(th)
             if bool(state.stale):
                 state = self._rebuild(state)
-                if self.short_build is not None:
+                if self.short_build is not None and not host_short:
                     # break the short.ref_x <-> x / nbrs.ref_x buffer
                     # aliasing before the next donating run_device call
                     state = state._replace(short=state.short._replace(

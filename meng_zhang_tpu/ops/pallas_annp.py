@@ -24,7 +24,7 @@ tile-padded to 128).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..io.potential import ActivationStyle
+from .pair_coloring import ColoringSpec, pair_colors
 
 _FE_A = 1.7159
 _FE_B = 0.666666666666667
@@ -535,12 +536,41 @@ class ShortList(NamedTuple):
     distance test and row compaction of the round-2 repack are gone.
     Measured on the v5e (artifacts/delivery_bench2.txt): the Ks=128 gather
     costs 55 ms where the per-step K=256 repack cost 124 ms.
+
+    Two variants share the type (the populated fields select the delivery
+    mode, and with it the jit specialization):
+      * banded (compact_short): akey set, skey/guard/color_bad None; rows
+        are in-cutoff prefixes, delivery is one flat 4-operand sort.
+      * colored (compact_short_colored): akey None; lanes are palette
+        colors of the symmetric pair coloring (ops/pair_coloring), and
+        delivery is a per-column sort -- 62 ms vs 123 ms at the
+        152,880-atom benchmark (artifacts/delivery_bench2.txt).
     """
     sidx: jax.Array      # [P, Ks] partner index, n for filler lanes
-    akey: jax.Array      # [P, Ks] banded delivery key (see _pair_dx_repacked)
+    akey: Optional[jax.Array]  # [P, Ks] banded delivery key (banded mode)
     ok: jax.Array        # [P, Ks] entry was within rc+delta at compaction
     ref_x: jax.Array     # [N, 3] positions at compaction (staleness check)
     overflow: jax.Array  # bool: some row had > Ks entries within rc+delta
+    skey: Optional[jax.Array] = None   # [P, Ks] colored delivery key:
+                                       # partner row for real lanes, own row
+                                       # for fillers (colored mode)
+    guard: Optional[jax.Array] = None  # f32 scalar: max per-atom drift (A)
+                                       # under which dropped off-table pairs
+                                       # provably stay outside the cutoff;
+                                       # drivers fold it into the exact
+                                       # dangerous-build displacement check
+    color_bad: Optional[jax.Array] = None  # bool: duplicate color in some
+                                           # row, residual-lane overflow, or
+                                           # guard too thin -- the host must
+                                           # fall back to a banded epoch
+    res_dest: Optional[jax.Array] = None   # [P, Ks-nc] residual-lane dest
+                                           # rows (own row for fillers)
+    res_k2: Optional[jax.Array] = None     # [P, Ks-nc] residual delivery
+                                           # tiebreak (sender pair-id order)
+    diag: Optional[jax.Array] = None       # int32 diagnostics: bit 0 dup,
+                                           # 1 res overflow, 2 thin guard;
+                                           # bits 3.. max res count;
+                                           # bits 12.. round(10*min_miss_r)
 
 
 class PallasAnnp:
@@ -554,8 +584,14 @@ class PallasAnnp:
     a 4x FLOP cut on the dominant work. None disables the repack."""
 
     def __init__(self, cfg, params, k_short=128, angular="harmonic",
-                 short_delta=0.3):
+                 short_delta=0.3, coloring: Optional[ColoringSpec] = None):
         self.k_short = k_short
+        # symmetric pair-lane coloring tables (ops/pair_coloring) enabling
+        # the column-sorted delivery; None keeps the banded flat sort
+        self.coloring = coloring
+        if coloring is not None:
+            assert coloring.n_colors <= k_short, \
+                "coloring palette must fit the short-lane width"
         # inner skin for the refresh-static short list (compact_short):
         # entries within rc + short_delta are kept, so the list stays valid
         # while no atom moves more than short_delta/2 since compaction
@@ -1006,6 +1042,199 @@ class PallasAnnp:
         ok = outs[2].reshape(c_pad, ks)[:n_pad]
         return ShortList(sidx, akey, ok, x, jnp.any(outs[3]))
 
+    # ---------------- colored short list (column-sorted delivery) ----------
+    def _compact_colored_block(self, x8, n, k, box, idx_c, xi_c, i0):
+        """One row-chunk of compact_short_colored: distance test, pair
+        colors (ops/pair_coloring), then placement -- lane c < n_colors of
+        the output row holds the pair of palette color c (or a filler),
+        lanes [n_colors, Ks) hold the row's residual (5th-shell) pairs in
+        symmetric pair-id order. Built with two [C, K+Ks] row sorts by
+        completing each row's used colors against an iota of all Ks lanes.
+        Returns (sidx, skey, ok, res_dest, res_k2, bad, min_miss_rsq)."""
+        ks = self.k_short
+        rc = dict(self.cfg_key)["rc"]
+        rc_s = rc + self.short_delta
+        spec = self.coloring
+        nc = spec.n_colors
+        nres = ks - nc
+        c_rows = idx_c.shape[0]
+        h = box / jnp.asarray(spec.p0, box.dtype)
+
+        xj = x8[jnp.minimum(idx_c, n)]                 # [C, K, 8]
+        valid = idx_c < n
+        dd = []
+        rsq = jnp.zeros(idx_c.shape, x8.dtype)
+        for d in range(3):
+            c = xi_c[:, d][:, None] - xj[:, :, d]
+            if self.pbc[d]:
+                c = c - box[d] * jnp.round(c / box[d])
+            c = jnp.where(valid, c, 2.0 * box[d] + 10.0)
+            dd.append(c)
+            rsq = rsq + c * c
+        mask = valid & (rsq < rc_s * rc_s) & (rsq > 1.0e-12)
+
+        q = jnp.stack([jnp.round(dd[d] / h[d]).astype(jnp.int32)
+                       for d in range(3)], axis=-1)          # [C, K, 3]
+        site_i = jnp.round(xi_c / h).astype(jnp.int32)       # [C, 3]
+        site_j = jnp.stack([jnp.round(xj[:, :, d] / h[d]).astype(jnp.int32)
+                            for d in range(3)], axis=-1)     # [C, K, 3]
+        col, kind = pair_colors(spec, site_i, site_j, q)
+        # every non-palette pair is residual: the pair-id residual delivery
+        # is class-agnostic (any pair-symmetric set routes exactly), so
+        # 5th-shell AND off-table pairs (defects, strained surface regions
+        # where sites misround) ride the spare lanes -- nothing is dropped
+        real1 = mask & (kind == 1)                    # palette-colored
+        real2 = mask & (kind != 1)                    # residual
+
+        rows_g = i0 + jax.lax.broadcasted_iota(jnp.int32, (c_rows, k), 0)
+        pj = jnp.minimum(idx_c, n).astype(jnp.int32)
+        RB = jnp.asarray(1 << 23, jnp.int32)          # residual key band
+        BIGK = jnp.asarray(1 << 26, jnp.int32)        # dropped entries
+        # sort-1 bands: palette 2*col < 2^8 | iota 2c+1 | residual
+        # RB + pair-id | dropped BIGK | demoted iota BIGK+1 | overflow +2
+        key = jnp.where(
+            real1, 2 * col,
+            jnp.where(real2,
+                      RB + (pj >= rows_g) * (1 << 21) + pj, BIGK))
+        pay = jnp.where(real1 | real2, pj, n)
+        r_count = jnp.sum(real2.astype(jnp.int32), axis=1)   # [C]
+        iota_c = jnp.arange(ks, dtype=jnp.int32)
+        taken = jnp.clip(r_count, 0, nres)[:, None]
+        ikey = jnp.where((iota_c[None, :] >= nc)
+                         & (iota_c[None, :] - nc < taken),
+                         BIGK + 1, 2 * iota_c[None, :] + 1)
+        ikey = jnp.broadcast_to(ikey, (c_rows, ks))
+        keys = jnp.concatenate([key, ikey], axis=1)          # [C, K+Ks]
+        pays = jnp.concatenate(
+            [pay, jnp.full((c_rows, ks), n, jnp.int32)], axis=1)
+        k1, p1 = jax.lax.sort((keys, pays), dimension=1, num_keys=1)
+        prev = jnp.concatenate(
+            [jnp.full((c_rows, 1), -9, jnp.int32), k1[:, :-1]], axis=1)
+        dup = jnp.any((k1 < 2 * nc) & (k1 % 2 == 0) & (k1 == prev))
+        used_iota = (k1 % 2 == 1) & (k1 < 2 * nc) & (prev == k1 - 1)
+        isres = (k1 >= RB) & (k1 < BIGK)
+        rank = jnp.cumsum(isres.astype(jnp.int32), axis=1) - 1
+        k2 = jnp.where(used_iota, k1 + (1 << 27), k1)
+        k2 = jnp.where(isres,
+                       jnp.where(rank < nres, 2 * (nc + rank), BIGK + 2),
+                       k2)
+        ovf_res = jnp.any(r_count > nres)
+        max_rcount = jnp.max(r_count)
+        k3, p3 = jax.lax.sort((k2, p1), dimension=1, num_keys=1)
+        k3, p3 = k3[:, :ks], p3[:, :ks]
+        okl = (k3 % 2 == 0) & (k3 < 2 * ks)
+        sidx = jnp.where(okl, p3, n)
+        rows_s = i0 + jax.lax.broadcasted_iota(jnp.int32, (c_rows, ks), 0)
+        lane_pal = iota_c[None, :] < nc
+        skey = jnp.where(okl & lane_pal, p3, rows_s)
+        # residual delivery tables for lanes [nc, ks): destination row and
+        # the (sender >= dest, sender) tiebreak that aligns the incoming
+        # sort order with the receiver's own pair-id lane order
+        rlane = slice(nc, ks)
+        res_ok = okl[:, rlane]
+        res_p = p3[:, rlane]
+        res_rows = rows_s[:, rlane]
+        res_dest = jnp.where(res_ok, res_p, res_rows)
+        res_k2 = jnp.where(
+            res_ok, (res_rows >= res_p) * (1 << 21) + res_rows,
+            (1 << 23) + (iota_c[None, rlane] - nc)
+            + jnp.zeros_like(res_rows))
+        badbits = (dup.astype(jnp.int32)
+                   + 2 * ovf_res.astype(jnp.int32))
+        return (sidx, skey, okl, res_dest, res_k2, badbits, max_rcount)
+
+    def compact_short_colored(self, x, box, nbr_idx, row_chunk=8192):
+        """Colored variant of compact_short: palette lanes + residual
+        lanes of the symmetric pair coloring, enabling the column-sorted
+        delivery (energy_forces_short picks the mode from the populated
+        fields).
+
+        Every in-range pair is kept: palette classes go to color lanes,
+        everything else (5th shell, defects, strained regions) rides the
+        residual lanes. `color_bad` means the epoch must run banded
+        instead (duplicate palette colors or residual-lane overflow --
+        heavily defected or incommensurate regions)."""
+        assert self.coloring is not None, "construct PallasAnnp with coloring"
+        n = x.shape[0]
+        k = nbr_idx.shape[1]
+        ks = self.k_short
+        nres = ks - self.coloring.n_colors
+        n_pad = -(-n // TILE) * TILE
+        c_pad = -(-n_pad // row_chunk) * row_chunk
+
+        idx = _padr(nbr_idx, c_pad, n)
+        xi_all = _padr(x, c_pad, 0.0)
+        x8 = jnp.pad(x, ((0, 1), (0, 5)))
+        block = functools.partial(self._compact_colored_block, x8, n, k, box)
+
+        if c_pad <= row_chunk:
+            outs = block(idx, xi_all, jnp.asarray(0, jnp.int32))
+            sidx, skey, ok = (o[:n_pad] for o in outs[:3])
+            res_dest, res_k2 = (o[:n_pad] for o in outs[3:5])
+            badbits, max_rc = outs[5], outs[6]
+        else:
+            nb = c_pad // row_chunk
+            outs = jax.lax.map(
+                lambda a: block(*a),
+                (idx.reshape(nb, row_chunk, k),
+                 xi_all.reshape(nb, row_chunk, 3),
+                 jnp.arange(nb, dtype=jnp.int32) * row_chunk))
+            sidx, skey = (o.reshape(c_pad, ks)[:n_pad] for o in outs[:2])
+            ok = outs[2].reshape(c_pad, ks)[:n_pad]
+            res_dest, res_k2 = (o.reshape(c_pad, nres)[:n_pad]
+                                for o in outs[3:5])
+            badbits = (jnp.any(outs[5] & 1 != 0).astype(jnp.int32)
+                       | 2 * jnp.any(outs[5] & 2 != 0).astype(jnp.int32))
+            max_rc = jnp.max(outs[6])
+        # nothing is dropped, so the dropped-pair drift guard is simply the
+        # short-list cap (kept for the driver's threshold formula)
+        guard = jnp.asarray(0.5 * self.short_delta, x.dtype)
+        # diag: bit 0 = duplicate palette color, bit 1 = residual-lane
+        # overflow; bits 3.. = max residual count per row
+        diag = (badbits | (max_rc << 3)).astype(jnp.int32)
+        color_bad = diag & 7 != 0
+        return ShortList(sidx, None, ok, x, jnp.asarray(False),
+                         skey=skey, guard=guard, color_bad=color_bad,
+                         res_dest=res_dest, res_k2=res_k2, diag=diag)
+
+    def _assemble_colored(self, fjx, fjy, fjz, sl, n):
+        """Column-sorted delivery. Palette lanes [0, nc): pair (i, j)
+        occupies lane c in BOTH rows, so within each column the delivery
+        keys (partner row; own row for fillers) are a permutation of
+        [0, P) and one sort along axis 0 routes every partner
+        contribution (62 ms vs the flat banded sort's 123 ms at the
+        benchmark size). Residual lanes [nc, Ks): a small flat sort by
+        (dest row, sender tiebreak) -- each row receives exactly as many
+        residual values as it stores (residual-ness is pair-symmetric),
+        aligned with its own lane order.
+
+        Both sorts re-verify their permutation property against an iota
+        for free (the sorted keys are a by-product); a violation (a
+        construction bug or a misused color_bad epoch) poisons the forces
+        NaN rather than delivering silently wrong sums."""
+        nc = self.coloring.n_colors
+        p = fjx.shape[0]
+        sk = sl.skey[:, :nc]
+        ks_, px, py, pz = jax.lax.sort(
+            (sk, fjx[:, :nc], fjy[:, :nc], fjz[:, :nc]),
+            dimension=0, num_keys=1)
+        badperm = jnp.any(
+            ks_ != jax.lax.broadcasted_iota(jnp.int32, ks_.shape, 0))
+        rd, rk = sl.res_dest.reshape(-1), sl.res_k2.reshape(-1)
+        nres = sl.res_dest.shape[1]
+        rsorted = jax.lax.sort(
+            (rd, rk, fjx[:, nc:].reshape(-1), fjy[:, nc:].reshape(-1),
+             fjz[:, nc:].reshape(-1)), num_keys=2)
+        badperm = badperm | jnp.any(
+            rsorted[0].reshape(p, nres)
+            != jax.lax.broadcasted_iota(jnp.int32, (p, nres), 0))
+        f = []
+        for fj, part, rpart in zip((fjx, fjy, fjz), (px, py, pz),
+                                   rsorted[2:]):
+            f.append(-jnp.sum(fj[:n], axis=1) + jnp.sum(part[:n], axis=1)
+                     + jnp.sum(rpart.reshape(p, nres)[:n], axis=1))
+        return jnp.stack(f, axis=1), badperm
+
     def _eval_pipeline_sl(self, x, box, sl, want_virial, row_chunk=65536):
         """Chunked short-path evaluation for multi-million-atom scenes:
         gather + kernels + virial per row chunk inside one lax.map (same
@@ -1073,13 +1302,18 @@ class PallasAnnp:
                     [[-jnp.sum(da * fb * m) for fb in (fjx, fjy, fjz)]
                      for da in (dxx, dxy, dxz)])
                 w = 0.5 * (w + w.T)
-        forces = self._assemble(fjx, fjy, fjz, sl.akey, sl.ok, n, ks)
+        if sl.skey is not None:
+            forces, badperm = self._assemble_colored(fjx, fjy, fjz, sl, n)
+            bad = sl.overflow | badperm | sl.color_bad
+        else:
+            forces = self._assemble(fjx, fjy, fjz, sl.akey, sl.ok, n, ks)
+            bad = sl.overflow
         e_shift = dict(self.cfg_key)["e_shift"]
         e = jnp.sum(eat[:n] - e_shift)
         if shift:
             e = e + n * e_shift
-        e = jnp.where(sl.overflow, jnp.nan, e)
-        forces = jnp.where(sl.overflow, jnp.nan, forces)
+        e = jnp.where(bad, jnp.nan, e)
+        forces = jnp.where(bad, jnp.nan, forces)
         return (e, forces, w) if want_virial else (e, forces)
 
     def energy_dedg(self, x, box, nbr_idx):
