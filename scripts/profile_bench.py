@@ -149,7 +149,28 @@ def main():
         fjx, fjy, fjz, ak, okk, n, pk.k_short))
     t, _ = timeit(asm, *fj, akey, ok)
     res["assemble"] = t
-    log(f"assemble: {t * 1e3:.1f} ms")
+    log(f"assemble (banded): {t * 1e3:.1f} ms")
+
+    # --- colored-delivery phases (the production path when the scene's
+    # geometry admits the pair coloring; see ops/pair_coloring) ---
+    from meng_zhang_tpu.ops.pair_coloring import build_coloring
+    try:
+        spec = build_coloring(pbc, np.asarray(d.box))
+        pkc = P.PallasAnnp(mcfg, params, short_delta=pk.short_delta,
+                           coloring=spec)
+        compc = jax.jit(lambda xx, bb, ii: pkc.compact_short_colored(
+            xx, bb, ii))
+        t, slc = timeit(compc, x, box, nbrs.idx)
+        res["compact_colored"] = t
+        log(f"compact_short_colored: {t * 1e3:.1f} ms  "
+            f"color_bad={bool(slc.color_bad)} diag={int(slc.diag)}")
+        asmc = jax.jit(lambda fjx, fjy, fjz, ss: pkc._assemble_colored(
+            fjx, fjy, fjz, ss, n)[0])
+        t, _ = timeit(asmc, *fj, slc)
+        res["assemble_colored"] = t
+        log(f"assemble (colored): {t * 1e3:.1f} ms")
+    except ValueError as e:
+        log("coloring unavailable:", e)
 
     def virial_only(dxx, dxy, dxz, fjx, fjy, fjz, okk):
         m = okk[:n].astype(x.dtype)
