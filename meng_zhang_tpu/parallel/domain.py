@@ -11,9 +11,13 @@ mid-step 12-field forward_comm, src/pair_anna_adp_gpu.cpp:135-158):
     index block. The atom->device assignment then stays FIXED: in solid-state
     MD atoms vibrate around lattice sites, so the initial spatial sort stays
     coherent indefinitely (LAMMPS likewise migrates only at rebuilds, and the
-    benchmark scenes are crystals). `redistribute` re-sorts on demand for
-    diffusive runs; the rebuild-time coverage proof reports when that becomes
-    necessary.
+    benchmark scenes are crystals). For diffusive scenes (melts), setting
+    cfg.migrate_b enables bounded in-run migration at every rebuild: a
+    device-local x re-sort plus a migrate_b-row edge-block merge/split with
+    each ring neighbor (`_migrate_body`) -- the LAMMPS exchange()/borders()
+    analogue with exactly-equal counts preserved and no replicated global
+    work. `redistribute` remains the host-level full re-sort fallback; the
+    rebuild-time coverage proof reports when either becomes necessary.
   * Per step, each device refreshes its two halo blocks (B atoms each) from
     its ring neighbors with `lax.ppermute` over ICI -- the ghost forward
     communication of the reference, minus any host staging.
@@ -69,6 +73,8 @@ class ShardState(NamedTuple):
     x_loc: jax.Array      # [D, C, 3]
     v_loc: jax.Array      # [D, C, 3]
     f_loc: jax.Array      # [D, C, 3]
+    gid: jax.Array        # [D, C] int32 original atom id of each local row
+                          # (rows permute under migrate(); gid tracks them)
     halo_l: jax.Array     # [D, B, 3] ring-received edge positions
     halo_r: jax.Array     # [D, B, 3]
     idx: jax.Array        # [D, Cc, K] neighbor rows (frame indices)
@@ -100,7 +106,8 @@ OVF_COVERAGE = 4   # the rebuild-time halo coverage proof failed
 def _state_specs():
     sh, rep = P("dp"), P()
     return ShardState(
-        x_loc=sh, v_loc=sh, f_loc=sh, halo_l=sh, halo_r=sh, idx=sh, rev=sh,
+        x_loc=sh, v_loc=sh, f_loc=sh, gid=sh, halo_l=sh, halo_r=sh,
+        idx=sh, rev=sh,
         ref_loc=sh, pe=sh, box=rep, virial=rep,
         nhc=I.NHCState(rep, rep), v_eps=rep, baro_nhc=I.NHCState(rep, rep),
         step=rep, stale=sh, unsafe=sh, overflow=sh)
@@ -135,6 +142,13 @@ class ShardConfig:
                                    # the remaining margin absorbs drift until
                                    # the block-boundary rebuild (lower for
                                    # hot scenes / large thermo_every)
+    migrate_b: int = 0             # edge-block rows exchanged per slab
+                                   # boundary at each rebuild (0 = fixed
+                                   # assignment). Enables diffusive scenes
+                                   # (melts): atoms that crossed a slab
+                                   # boundary move to the ring neighbor,
+                                   # bounded by migrate_b rows per rebuild.
+                                   # Must be <= c_loc // 2.
 
     @property
     def bc(self) -> int:          # center-row extension per side
@@ -233,6 +247,9 @@ class ShardedMD:
                 and 2 * cfg.halo_b > cfg.c_loc):
             raise ValueError("2-device ring needs halo_b <= c_loc/2 "
                              "(the two halo blocks must not overlap)")
+        if 2 * cfg.migrate_b > cfg.c_loc:
+            raise ValueError("migrate_b must be <= c_loc/2 (the two edge "
+                             "blocks of a device must not overlap)")
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()[:cfg.n_devices]), ("dp",))
         self.mesh = mesh
@@ -242,6 +259,7 @@ class ShardedMD:
         self.frame_wx: Optional[float] = None      # set by distribute()
         self.frame_dims: Optional[tuple] = None
         self.rebuild_count = 0
+        self.migrated = 0              # atoms moved between devices (run())
 
     # ================= planning =================
     def _auto_geometry(self, xs_sorted_x: np.ndarray, box):
@@ -332,7 +350,7 @@ class ShardedMD:
         if method == "auto":
             method = "cell" if (min(dims) >= 3 and cfg.c_ext > 2048) else "n2"
         self.frame_dims = dims if method == "cell" else None
-        for attr in ("_rebuild_fn", "_refill_fn", "_run1"):
+        for attr in ("_rebuild_fn", "_refill_fn", "_run1", "_migrate_fn"):
             if hasattr(self, attr):
                 delattr(self, attr)
 
@@ -365,6 +383,7 @@ class ShardedMD:
         x_l = xs.reshape(D, C, 3)
         st = ShardState(
             x_loc=x_l, v_loc=vs.reshape(D, C, 3), f_loc=jnp.zeros_like(x_l),
+            gid=order.astype(jnp.int32).reshape(D, C),
             halo_l=xs[ids_l], halo_r=xs[ids_r],
             idx=jnp.zeros((D, cfg.cc, cfg.capacity), jnp.int32), rev=rev0,
             ref_loc=x_l, pe=jnp.zeros(D, dtype),
@@ -597,6 +616,113 @@ class ShardedMD:
             self._refill_fn = jax.jit(self._smap(body))
         return self._refill_fn(st)
 
+    # ---------- bounded atom migration (the LAMMPS exchange() analogue) ----
+    def _migrate_body(self, st: ShardState):
+        """Move boundary-crossing atoms to the ring neighbor (in shard_map).
+
+        Restores the sorted-rank ownership invariant after diffusion, the
+        TPU-native equivalent of LAMMPS' exchange()/borders() at reneighbor
+        (SURVEY.md section 2.5 rows 1-2): local rows are re-sorted by x
+        (payloads ride the lax.sort), then the two edge blocks at every slab
+        boundary (migrate_b rows from each side) are merged by boundary-
+        centered x and re-split so each device keeps the half nearest it.
+        Both sides sort the identical operand sequence, so the split is
+        bit-identical and no atom is lost or duplicated. Equal per-device
+        counts -- static shapes, perfect load balance -- are preserved
+        exactly; an atom migrates at most migrate_b rows per call, so
+        migrate_b bounds the crossing flux per rebuild interval, NOT the
+        total drift. No replicated global work.
+
+        Returns (state, n_migrated). Neighbor tables are stale afterwards:
+        run() always follows a migrate with rebuild().
+        """
+        cfg = self.cfg
+        C, D, Bm = cfg.c_loc, cfg.n_devices, cfg.migrate_b
+        i = jax.lax.axis_index("dp")
+        box = st.box
+        x, v, f = st.x_loc[0], st.v_loc[0], st.f_loc[0]
+
+        # device-local re-sort by x: 10 payload columns (never a [C, 10]
+        # matrix -- trailing dims tile-pad on TPU)
+        cols = list(jax.lax.sort(
+            [x[:, 0], x[:, 1], x[:, 2], v[:, 0], v[:, 1], v[:, 2],
+             f[:, 0], f[:, 1], f[:, 2], st.gid[0]], num_keys=1))
+
+        def rows(lo, hi):
+            return [c[lo:hi] for c in cols]
+
+        top, bot = rows(C - Bm, C), rows(0, Bm)
+        right = [(d, (d + 1) % D) for d in range(D)]
+        left = [(d, (d - 1) % D) for d in range(D)]
+        recv_top = jax.lax.ppermute(top, "dp", right)   # left nbr's top
+        recv_bot = jax.lax.ppermute(bot, "dp", left)    # right nbr's bottom
+
+        def merge(top_cols, bot_cols, S):
+            """Sort the 2*Bm union [top of left device ++ bottom of right
+            device] by x expressed in the LEFT device's coordinate patch.
+
+            Positions are never re-wrapped during a run, so each device's
+            atoms stay a contiguous unwrapped interval; patches only differ
+            at the periodic seam (the D-1 -> 0 boundary), where the right
+            side is offset by S = -L. Atoms that change sides get one exact
+            +-L patch shift so the destination interval stays contiguous;
+            atoms that stay put are transported bit-exactly (shift term
+            multiplies by an exact 0)."""
+            key = jnp.concatenate([top_cols[0], bot_cols[0] - S])
+            merged = [jnp.concatenate([a, b])
+                      for a, b in zip(top_cols, bot_cols)]
+            src = jnp.concatenate([jnp.zeros(Bm, jnp.int32),
+                                   jnp.ones(Bm, jnp.int32)])
+            out = jax.lax.sort([key] + merged + [src], num_keys=1)
+            vals, srcs = list(out[1:-1]), out[-1]
+            dest = (jnp.arange(2 * Bm) >= Bm).astype(jnp.int32)
+            vals[0] = vals[0] + S * (dest - srcs).astype(vals[0].dtype)
+            return vals, srcs
+
+        zero = jnp.asarray(0.0, x.dtype)
+        if cfg.pbc[0]:
+            s_r = jnp.where(i == D - 1, -box[0], zero)   # my right boundary
+            s_l = jnp.where(i == 0, -box[0], zero)       # my left boundary
+        else:
+            s_r = s_l = zero
+        mr, src_r = merge(top, recv_bot, s_r)    # my right boundary
+        ml, src_l = merge(recv_top, bot, s_l)    # my left boundary
+        new_top = [c[:Bm] for c in mr]
+        new_bot = [c[Bm:] for c in ml]
+        in_r = jnp.sum(src_r[:Bm])            # right-nbr atoms now mine
+        in_l = jnp.sum(1 - src_l[Bm:])        # left-nbr atoms now mine
+        if not cfg.pbc[0]:
+            # no ring wrap: the outermost slab faces do not exchange
+            new_top = [jnp.where(i == D - 1, t, nt)
+                       for t, nt in zip(top, new_top)]
+            new_bot = [jnp.where(i == 0, b, nb)
+                       for b, nb in zip(bot, new_bot)]
+            in_r = jnp.where(i == D - 1, 0, in_r)
+            in_l = jnp.where(i == 0, 0, in_l)
+
+        mid = rows(Bm, C - Bm)
+        full = [jnp.concatenate([b, m, t])
+                for b, m, t in zip(new_bot, mid, new_top)]
+        x2 = jnp.stack(full[0:3], axis=1)
+        v2 = jnp.stack(full[3:6], axis=1)
+        f2 = jnp.stack(full[6:9], axis=1)
+        hl, hr = self._halo_refresh(x2)
+        n_mig = jax.lax.psum(in_l + in_r, "dp")
+        return st._replace(
+            x_loc=x2[None], v_loc=v2[None], f_loc=f2[None],
+            gid=full[9][None], halo_l=hl[None], halo_r=hr[None],
+            ref_loc=x2[None]), n_mig
+
+    def migrate(self, st: ShardState) -> ShardState:
+        """Bounded boundary migration; caller must rebuild() afterwards
+        (run() does). Tallies self.migrated."""
+        if not hasattr(self, "_migrate_fn"):
+            self._migrate_fn = jax.jit(self._smap(
+                self._migrate_body, out_specs=(self._specs(), P())))
+        st, n_mig = self._migrate_fn(st)
+        self.migrated += int(n_mig)
+        return st
+
     # ---------- thermostat / barostat pieces (replicated math) ----------
     def _q_particle(self, dtype):
         return I.nhc_masses(self.ndof, self.cfg.t_target, self.cfg.tau_t,
@@ -754,27 +880,34 @@ class ShardedMD:
             self._run1 = self.make_run(1)
         thermos = []
         self.rebuild_count = 0
+        self.migrated = 0
         for _ in range(n_blocks):
             st, th = self._run1(st)
             thermos.append(th)
             if bool(jnp.any(st.stale)):
+                if self.cfg.migrate_b:
+                    st = self.migrate(st)
                 st = self.rebuild(st)
                 self.rebuild_count += 1
         return st, jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs), *thermos)
 
     # ---------- convenience ----------
-    def gather_positions(self, st: ShardState, order):
-        """Back to the original (unsorted) order, replicated [N, 3]."""
+    def gather_positions(self, st: ShardState, order=None):
+        """Back to the original (unsorted) order, replicated [N, 3].
+
+        Uses the state's own gid rows (which track migration); the legacy
+        `order` argument is accepted and ignored."""
         xs = st.x_loc.reshape(-1, 3)
-        inv = jnp.argsort(order)
+        inv = jnp.argsort(st.gid.reshape(-1))
         return xs[inv]
 
-    def redistribute(self, st: ShardState, order):
+    def redistribute(self, st: ShardState, order=None):
         """Re-sort the atom->device assignment (host-level; for diffusive
-        scenes when the rebuild coverage proof starts flagging drift).
+        scenes when the rebuild coverage proof starts flagging drift --
+        prefer cfg.migrate_b for in-run maintenance).
         Thermostat/barostat state carries over; sticky flags are kept."""
-        inv = jnp.argsort(order)
+        inv = jnp.argsort(st.gid.reshape(-1))
         x = st.x_loc.reshape(-1, 3)[inv]
         v = st.v_loc.reshape(-1, 3)[inv]
         st2, order2 = self.distribute(x, v, box=np.asarray(st.box))

@@ -32,6 +32,8 @@ def log(*a):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", choices=("500k", "2m"), required=True)
+    ap.add_argument("--no-minimize", action="store_true",
+                    help="skip the FIRE pre-relaxation of the 2m GB scene")
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--size-scale", type=float, default=1.0,
                     help="2m scene linear scale factor")
@@ -119,6 +121,26 @@ def main():
     sim = Simulator(force_fn, jnp.full(n, MASS_FE, jnp.float32), cfg)
     x = jnp.asarray(x_np, jnp.float32)
     box = jnp.asarray(box_np, jnp.float32)
+
+    if args.config == "2m" and not args.no_minimize:
+        # The GB bicrystal starts unrelaxed; close pairs left by the overlap
+        # prune relax at ~80 A/ps and outrun any reasonable skin budget for
+        # picoseconds of NVE (the round-2 artifact recorded sticky `unsafe`
+        # for exactly this reason). The reference workflow minimizes before
+        # dynamics (in.st_test: minimize 1e-6 ...); a short FIRE quench kills
+        # the transient so the measured window has zero dangerous builds.
+        from meng_zhang_tpu.md.minimize import fire_minimize
+        t0 = time.time()
+        nbrs = sim.build_nbrs(x, box)
+
+        def ef(xx, bb, nbr):
+            return pk.energy_forces(xx, bb, nbr[0], nbr[1], shift=False)
+
+        fst = fire_minimize(ef, x, box, (nbrs.idx, nbrs.rev), f_tol=5e-2,
+                            max_iter=100, dt0=5e-4, dt_max=5e-3, block=10)
+        x = fst.x
+        log(f"minimize: {time.time() - t0:.1f}s fmax={float(fst.fmax):.2e}"
+            f" pe={float(fst.pe) + n * mcfg.e_shift:.6e}")
 
     t0 = time.time()
     st = sim.init_state(x, box, seed=4928459, t_init=300.0)

@@ -305,6 +305,121 @@ def test_xla_frame_adapter_ni(ni_pot):
                                rtol=1e-8, atol=1e-9)
 
 
+def test_migrate_unit(cheap_scene):
+    """migrate() moves boundary crossers to the ring neighbor -- including
+    across the periodic seam -- transports (x, v, f, gid) bit-exactly, and
+    preserves equal per-device counts."""
+    mcfg, params, x, box = cheap_scene
+    n = x.shape[0]
+    from meng_zhang_tpu.md.simulation import create_velocities
+    v0 = create_velocities(jax.random.PRNGKey(5),
+                           jnp.full(n, MASS_FE, jnp.float64), 50.0,
+                           jnp.float64)
+    md = ShardedMD(XlaFrameModel(mcfg, params, chunk=128), MASS_FE, box,
+                   _cheap_scfg(mcfg, n, migrate_b=16))
+    st, order = md.distribute(x, v0)
+    C, D = md.cfg.c_loc, md.cfg.n_devices
+
+    # displace the top-x atom of device 0 well into device 1's slab, and the
+    # top-x atom of device D-1 across the periodic seam into device 0
+    x_loc = np.asarray(st.x_loc).copy()
+    gids = np.asarray(st.gid)
+    cross_r = int(gids[0, C - 1])
+    cross_seam = int(gids[D - 1, C - 1])
+    x_loc[0, C - 1, 0] += 1.5
+    x_loc[D - 1, C - 1, 0] += 1.5        # past box_x: unwrapped seam cross
+    st = st._replace(x_loc=jnp.asarray(x_loc))
+
+    def by_gid(stt):
+        g = np.asarray(stt.gid).reshape(-1)
+        o = np.argsort(g)
+        return (g[o], np.asarray(stt.x_loc).reshape(n, 3)[o],
+                np.asarray(stt.v_loc).reshape(n, 3)[o],
+                np.asarray(stt.f_loc).reshape(n, 3)[o])
+
+    g0, x0, vv0, f0 = by_gid(st)
+    st2 = md.migrate(st)
+    g2, x2, vv2, f2 = by_gid(st2)
+
+    assert md.migrated >= 2
+    np.testing.assert_array_equal(g0, np.arange(n))    # gid is a permutation
+    np.testing.assert_array_equal(g2, np.arange(n))
+    # migration only permutes rows -- payloads are transported bit-exactly,
+    # except that seam crossers get ONE exact +-box_x patch shift
+    np.testing.assert_array_equal(vv2, vv0)
+    np.testing.assert_array_equal(f2, f0)
+    dx = x2 - x0
+    np.testing.assert_array_equal(dx[:, 1:], 0.0)
+    shifts = dx[:, 0] / float(box[0])
+    assert set(np.unique(shifts)) <= {-1.0, 0.0, 1.0}
+    # the seam crosser wraps down (-L); equal counts push device 0's
+    # marginal bottom atom back across the seam (+L)
+    assert shifts[cross_seam] == -1.0
+    assert np.count_nonzero(shifts) == 2
+    assert float(np.sum(shifts)) == 0.0
+
+    gids2 = np.asarray(st2.gid)
+    assert cross_r in gids2[1], "right crosser must now live on device 1"
+    assert cross_seam in gids2[0], "seam crosser must wrap to device 0"
+    # migrate leaves neighbor tables stale by contract; rebuild must succeed
+    st3 = md.rebuild(st2)
+    assert not bool(jnp.any(st3.overflow))
+
+
+def test_sharded_md_migration_parity(ni_pot):
+    """Hot sharded run (fcc-Ni at 1200 K -- the config-2 melt leg) with
+    migrate_b enabled: boundary migration fires in-run and the trajectory
+    stays exactly on the single-chip track (migration is physics-neutral:
+    it only re-assigns atom ownership).
+
+    15 x-cells / 4 devices puts each slab boundary INSIDE an x-layer of the
+    fcc crystal (240 atoms = 7.5 layers per device), where sorted-x ties
+    are ~0.02 A apart and thermal motion genuinely reorders rank ownership
+    -- a commensurate split (16 cells) parks every boundary in the 1.76 A
+    inter-layer gap, which no solid-state dynamics will ever cross."""
+    from meng_zhang_tpu.models.annp import (effective_cutoff,
+                                            energy_forces_virial_chunked)
+    from meng_zhang_tpu.geometry.lattice import FCC_BASIS, simple_lattice
+    mcfg, params = make_annp(ni_pot, dtype=jnp.float64)
+    x_np, box_np = simple_lattice([15, 4, 4], 3.52, FCC_BASIS)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(x_np + rng.normal(scale=0.02, size=x_np.shape))
+    box = jnp.asarray(box_np)
+    n = x.shape[0]
+    cut = effective_cutoff(ni_pot)
+    m_ni = 58.6934
+    from meng_zhang_tpu.md.simulation import create_velocities
+    v0 = create_velocities(jax.random.PRNGKey(9), jnp.full(n, m_ni,
+                           jnp.float64), 1200.0, jnp.float64)
+
+    def force_fn(xx, bb, nbrs):
+        return energy_forces_virial_chunked(mcfg, params, xx, bb, nbrs.idx,
+                                            chunk=128, shift=False)
+
+    cfg1 = MDConfig(dt=0.001, cutoff=cut, skin=0.5, capacity=48,
+                    nbr_method="n2", ensemble="nve", thermo_every=4)
+    sim = Simulator(force_fn, jnp.full(n, m_ni, jnp.float64), cfg1)
+    st1 = sim.init_state(x, box, v=v0, seed=1)
+    st1, th1 = sim.run(st1, 15)      # 60 steps at 1200 K
+
+    scfg = ShardConfig(n_devices=4, c_loc=n // 4, halo_b=176, capacity=48,
+                       cutoff=cut, skin=0.5, dt=0.001, thermo_every=4,
+                       migrate_b=16)
+    md = ShardedMD(XlaFrameModel(mcfg, params, chunk=128), m_ni, box, scfg)
+    stn, order = md.distribute(x, v0)
+    stn, thn = md.run(stn, 15)
+    assert md.rebuild_count >= 1
+    assert md.migrated >= 1, "1200 K run must produce boundary rank swaps"
+    assert not bool(jnp.any(stn.overflow))
+    np.testing.assert_allclose(np.asarray(thn.pe), np.asarray(th1.pe),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(thn.temp), np.asarray(th1.temp),
+                               rtol=1e-7)
+    # ownership stayed a permutation through every migrate
+    g = np.sort(np.asarray(stn.gid).reshape(-1))
+    np.testing.assert_array_equal(g, np.arange(n))
+
+
 @pytest.fixture(scope="module")
 def anna_scene(anna_pot):
     mcfg, params = anna_adp.make_anna(anna_pot, dtype=jnp.float64)
