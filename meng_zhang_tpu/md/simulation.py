@@ -128,7 +128,8 @@ class Simulator:
 
     def __init__(self, force_fn: Callable, masses, cfg: MDConfig,
                  short_build: Optional[Callable] = None,
-                 short_build_colored: Optional[Callable] = None):
+                 short_build_colored: Optional[Callable] = None,
+                 force_fn_light: Optional[Callable] = None):
         """short_build(x, box, nbrs) -> short-list pytree (with .ref_x and
         .overflow leaves) enables the refresh-static short-list fast path:
         force_fn is then called as force_fn(x, box, nbrs, short) and the
@@ -139,8 +140,16 @@ class Simulator:
         it first and falls back to short_build for the epoch when its
         color_bad flag trips (defected / incommensurate regions), with a
         2-block retry hysteresis. run_device re-specializes per mode from
-        the short pytree structure."""
+        the short pytree structure.
+
+        force_fn_light: same signature as force_fn but may return a zero
+        virial cheaply (e.g. skipping the strain-gradient tallies). Used
+        for every step whose virial nobody reads -- all but the last step
+        of each thermo block, in non-NPT ensembles (NPT's barostat consumes
+        the virial every step). The reference gates its ev_tally the same
+        way (vflag, ni/src/pair_annp.cpp compute)."""
         self.force_fn = force_fn
+        self.force_fn_light = force_fn_light
         self.masses = masses
         self.cfg = cfg
         self.short_build = short_build
@@ -186,17 +195,19 @@ class Simulator:
                                     pbc=c.pbc)
 
     # ---------- single step ----------
-    def _eval_force(self, x, box, nbrs, short=None):
+    def _eval_force(self, x, box, nbrs, short=None, light=False):
+        fn = self.force_fn_light if (light and self.force_fn_light
+                                     is not None) else self.force_fn
         if self.short_build is not None:
-            return self.force_fn(x, box, nbrs, short)
-        return self.force_fn(x, box, nbrs)
+            return fn(x, box, nbrs, short)
+        return fn(x, box, nbrs)
 
     def _refresh_short(self, s: MDState) -> MDState:
         if self.short_build is None:
             return s
         return s._replace(short=self.short_build(s.x, s.box, s.nbrs))
 
-    def step(self, s: MDState) -> MDState:
+    def step(self, s: MDState, light: bool = False) -> MDState:
         c = self.cfg
         dt = c.dt
         m = self.masses
@@ -250,7 +261,7 @@ class Simulator:
             if g is not None:
                 lim = jnp.minimum(lim, g * g)
             unsafe = unsafe | (msq_s > lim)
-        pe, f, w = self._eval_force(x, box, nbrs, s.short)
+        pe, f, w = self._eval_force(x, box, nbrs, s.short, light=light)
         v = I.vv_kick(v, f, m, 0.5 * dt)
 
         s = MDState(x=x, v=v, f=f, box=box, pe=pe, virial=w, nbrs=nbrs,
@@ -394,26 +405,39 @@ class Simulator:
         """NOTE: donates `state` (the [N, K] neighbor tables double the
         footprint at 2M atoms otherwise) -- callers must rebind."""
         every = self.cfg.thermo_every
+        # the virial is only read by the block-end thermo (NVE/NVT) or the
+        # per-step barostat (NPT): with a light force variant, all but the
+        # final step of each block skip the virial tallies in non-NPT runs
+        light = (self.force_fn_light is not None
+                 and self.cfg.ensemble != "npt")
+        step_l = lambda i, ss: self.step(ss, light=light)  # noqa: E731
+
+        def tail(s, m):
+            """m steps, the LAST of which always computes the virial."""
+            if light:
+                s = jax.lax.fori_loop(0, m - 1, step_l, s)
+                return self.step(s)
+            return jax.lax.fori_loop(0, m, step_l, s)
 
         if self.short_build is None or self.cfg.short_host_refresh:
             # host-refresh mode: run() refreshes the short list at each
             # block top (it must read the colored compaction's color_bad)
             def block(s, _):
-                s = jax.lax.fori_loop(0, every,
-                                      lambda i, ss: self.step(ss), s)
+                s = tail(s, every)
                 return s, self.thermo(s)
         else:
-            # refresh the short list on a fixed in-scan cadence (an
-            # unconditional refresh every short_every steps -- a lax.cond
-            # would run the refresh every step anyway once XLA flattens it)
+            # refresh the short list on a fixed in-scan cadence every
+            # short_every steps (an unconditional refresh -- a lax.cond
+            # would run the refresh every step anyway once XLA flattens
+            # it). Segments unroll statically so only the block's final
+            # segment carries the full-virial tail step.
             se = self.cfg.short_every
 
-            def seg(_, s):
-                s = self._refresh_short(s)
-                return jax.lax.fori_loop(0, se, lambda i, ss: self.step(ss), s)
-
             def block(s, _):
-                s = jax.lax.fori_loop(0, every // se, seg, s)
+                for k in range(every // se):
+                    s = self._refresh_short(s)
+                    s = tail(s, se) if k == every // se - 1 \
+                        else jax.lax.fori_loop(0, se, step_l, s)
                 return s, self.thermo(s)
 
         return jax.lax.scan(block, state, None, length=n_blocks)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -541,6 +542,65 @@ def energy_forces_virial_chunked(cfg: AnnpConfig, params, x, box, nbr_idx,
     e, (g_eps, g_x) = jax.value_and_grad(strained, argnums=(0, 1))(eps0, x)
     w = -0.5 * (g_eps + g_eps.T)
     return e, -g_x, w
+
+
+class ShortRows(NamedTuple):
+    """Refresh-static compacted neighbor rows for the chunked XLA paths
+    (the ni analogue of the Pallas path's ShortList): rebuilt every
+    cfg.short_every steps by the Simulator instead of per force eval."""
+    idx: jax.Array        # [N, k_short] compacted rows (sentinel n)
+    ref_x: jax.Array      # positions at refresh (drift guard)
+    overflow: jax.Array   # bool: some row exceeded k_short (forces poisoned)
+
+
+def make_short_chunked_fns(cfg: AnnpConfig, params, k_short=32, delta=0.3,
+                           chunk=1024):
+    """Production force/short-build trio for the chunked XLA models (ni).
+
+    The reference ni kernel repacks the 6.5 A LAMMPS list to the 3.9 A
+    descriptor cutoff INSIDE every force launch (k_annp_short_nbor,
+    ni/lib/lal_annp.cu); doing that per step cost 23% of the ni step on the
+    TPU (artifacts/profile_ni.json). Compacting instead against rc + delta
+    once per short_every steps amortizes it, with the Simulator's
+    short_skin drift guard latching `unsafe` if any atom moves > delta/2
+    within the epoch (pairs beyond rc contribute exactly zero through the
+    fc cutoff masks, so marginal extra rows are free).
+
+    Returns (force_fn, force_fn_light, short_build) for
+    Simulator(force_fn, ..., short_build=short_build,
+    force_fn_light=force_fn_light) with cfg.short_every > 0 and
+    cfg.short_skin == delta. The light variant skips the strain-virial
+    tallies (~20% of the eval) on steps whose virial nobody reads --
+    non-thermo NVE/NVT steps (ev_tally is likewise gated by vflag in the
+    reference, ni/src/pair_annp.cpp).
+    """
+    rc = descriptor_cutoff(cfg, params)
+
+    def short_build(x, box, nbrs):
+        idx_s, ovf = compact_neighbor_rows(x, box, nbrs.idx, rc + delta,
+                                           k_short, pbc=cfg.pbc)
+        return ShortRows(idx=idx_s, ref_x=x, overflow=ovf)
+
+    def _poison(e, f, ovf):
+        # silently dropped rows must never pass (same policy as the Pallas
+        # short path): NaN-poison the observables
+        nan = jnp.asarray(jnp.nan, f.dtype)
+        return jnp.where(ovf, nan, e), jnp.where(ovf, nan, f)
+
+    def force_fn(x, box, nbrs, short):
+        e, f, w = energy_forces_virial_chunked(cfg, params, x, box,
+                                               short.idx, chunk=chunk,
+                                               shift=False)
+        e, f = _poison(e, f, short.overflow)
+        return e, f, w
+
+    def force_fn_light(x, box, nbrs, short):
+        e, f = energy_forces_chunked(cfg, params, x, box, short.idx,
+                                     chunk=chunk, shift=False)
+        e, f = _poison(e, f, short.overflow)
+        return e, f, jnp.zeros((3, 3), x.dtype)
+
+    return force_fn, force_fn_light, short_build
 
 
 def energy_forces_virial(cfg: AnnpConfig, params, x, box, nbr_idx, elems=None):

@@ -40,6 +40,12 @@ def main():
     ap.add_argument("--model", choices=("ni", "anna"), required=True)
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--cells", type=int, default=None)
+    ap.add_argument("--k-short", type=int, default=32,
+                    help="ni short-row capacity (solid fcc needs 18 + "
+                         "thermal headroom; overflow NaN-poisons)")
+    ap.add_argument("--chunk", type=int, default=1024)
+    ap.add_argument("--no-write", action="store_true",
+                    help="skip writing the artifact (parameter sweeps)")
     args = ap.parse_args()
 
     import jax
@@ -58,28 +64,24 @@ def main():
     if args.model == "ni":
         from meng_zhang_tpu.geometry.lattice import fcc
         from meng_zhang_tpu.io.potential import read_ann
-        from meng_zhang_tpu.models.annp import (compact_neighbor_rows,
-                                                effective_cutoff,
-                                                energy_forces_virial_chunked,
-                                                make_annp)
+        from meng_zhang_tpu.models.annp import (effective_cutoff, make_annp,
+                                                make_short_chunked_fns)
         pot = read_ann(NI_ANN)
         mcfg, params = make_annp(pot)
         rc = effective_cutoff(pot)           # 3.90 A, not the 6.5 A list cut
         cells = args.cells or 40
         x_np, box_np = fcc(cells, a=3.52)    # 4*cells^3 atoms
         mass, skin, capacity = MASS_NI, 0.5, 64
-        k_short, chunk = 32, 1024
+        k_short, chunk, delta = args.k_short, args.chunk, 0.2
         ensemble, t_target = "nvt", 1200.0
         steps = args.steps or 100
         label = (f"fcc-Ni {len(x_np):,}-atom NVT 1200K melt leg "
                  "(config 2 scene)")
         e_shift = mcfg.e_shift
-
-        def force_fn(xx, bb, nbrs):
-            idx_s, ovf = compact_neighbor_rows(xx, bb, nbrs.idx, rc, k_short)
-            e, f, w = energy_forces_virial_chunked(
-                mcfg, params, xx, bb, idx_s, chunk=chunk, shift=False)
-            return jnp.where(ovf, jnp.nan, e), f, w
+        # amortized short repack (refresh every thermo block in-scan) +
+        # light no-virial force on non-thermo steps
+        force_fn, force_fn_light, short_build = make_short_chunked_fns(
+            mcfg, params, k_short=k_short, delta=delta, chunk=chunk)
     else:
         from meng_zhang_tpu.geometry.lattice import bcc
         from meng_zhang_tpu.io.potential import read_anna
@@ -100,6 +102,9 @@ def main():
             e, f = anna_adp.energy_forces(mcfg, params, xx, bb, nbrs.idx)
             return e, f, jnp.zeros((3, 3), xx.dtype)
 
+        force_fn_light = short_build = None
+        delta = 0.0
+
     n = len(x_np)
     log(f"{label}: {n} atoms, box {np.round(box_np, 1)}, rc={rc:.3f}")
     rlist = rc + skin
@@ -107,8 +112,11 @@ def main():
     cfg = MDConfig(dt=0.001, cutoff=rc, skin=skin, capacity=capacity,
                    nbr_method="cell", cell_dims=dims, cell_capacity=48,
                    ensemble=ensemble, t_target=t_target, tau_t=0.1,
-                   thermo_every=thermo, stale_factor=0.5)
-    sim = Simulator(force_fn, jnp.full(n, mass, jnp.float32), cfg)
+                   thermo_every=thermo, stale_factor=0.5,
+                   short_every=thermo if short_build else 0,
+                   short_skin=delta)
+    sim = Simulator(force_fn, jnp.full(n, mass, jnp.float32), cfg,
+                    short_build=short_build, force_fn_light=force_fn_light)
     x = jnp.asarray(x_np, jnp.float32)
     box = jnp.asarray(box_np, jnp.float32)
 
@@ -135,6 +143,10 @@ def main():
         f"  rebuilds={sim.rebuild_count} overflow={bool(st.overflow)}"
         f" unsafe={bool(st.unsafe)}")
     assert not bool(st.overflow)
+    # NaN-poisoned forces (short-row overflow) cascade into NaN velocities;
+    # a later PE can look finite because NaN coordinates mask every pair out
+    # -- temperature is the reliable sentinel
+    assert np.isfinite(float(th.temp[-1])), "trajectory NaN-poisoned"
     assert np.isfinite(float(th.pe[-1]))
 
     out = {
@@ -147,11 +159,12 @@ def main():
         "unsafe": bool(st.unsafe),
         "device": str(jax.devices()[0]),
     }
-    os.makedirs(ART, exist_ok=True)
-    path = os.path.join(ART, f"scale_{args.model}.json")
-    with open(path, "w") as fh:
-        json.dump(out, fh, indent=1)
-    log(f"wrote {path}")
+    if not args.no_write:
+        os.makedirs(ART, exist_ok=True)
+        path = os.path.join(ART, f"scale_{args.model}.json")
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1)
+        log(f"wrote {path}")
     print(json.dumps(out))
 
 

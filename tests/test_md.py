@@ -247,3 +247,80 @@ def test_short_list_driver_matches_full_path(fe_pot):
                                rtol=1e-8)
     np.testing.assert_allclose(np.asarray(st1.x), np.asarray(st0.x),
                                rtol=1e-9, atol=1e-9)
+
+
+def test_chunked_short_light_matches_full_path(ni_pot):
+    """The ni production trio (make_short_chunked_fns: amortized ShortRows
+    repack + light no-virial steps) reproduces the plain per-step-compact
+    trajectory exactly -- forces are identical whether the virial tallies
+    run or not, and the thermo-step virial matches the full path."""
+    from meng_zhang_tpu.geometry.lattice import FCC_BASIS, simple_lattice
+    from meng_zhang_tpu.models.annp import (compact_neighbor_rows,
+                                            effective_cutoff,
+                                            energy_forces_virial_chunked,
+                                            make_short_chunked_fns)
+
+    mcfg, params = make_annp(ni_pot, dtype=jnp.float64)
+    x_np, box_np = simple_lattice([4, 4, 4], 3.52, FCC_BASIS)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(x_np + rng.normal(scale=0.02, size=x_np.shape))
+    box = jnp.asarray(box_np)
+    n = x.shape[0]
+    rc = effective_cutoff(ni_pot)
+    m_ni = 58.6934
+    masses = jnp.full(n, m_ni, jnp.float64)
+
+    def force_full(xx, bb, nbrs):
+        idx_s, ovf = compact_neighbor_rows(xx, bb, nbrs.idx, rc, 32)
+        e, f, w = energy_forces_virial_chunked(mcfg, params, xx, bb, idx_s,
+                                               chunk=64, shift=False)
+        return jnp.where(ovf, jnp.nan, e), f, w
+
+    force_fn, force_light, short_build = make_short_chunked_fns(
+        mcfg, params, k_short=32, delta=0.3, chunk=64)
+    kw = dict(dt=0.001, cutoff=rc, skin=0.5, capacity=64, nbr_method="n2",
+              ensemble="nvt", t_target=800.0, thermo_every=10)
+    sim0 = Simulator(force_full, masses, MDConfig(**kw))
+    sim1 = Simulator(force_fn, masses,
+                     MDConfig(**kw, short_every=5, short_skin=0.3),
+                     short_build=short_build, force_fn_light=force_light)
+    st0 = sim0.init_state(x, box, seed=3, t_init=800.0)
+    st1 = sim1.init_state(x, box, seed=3, t_init=800.0)
+    np.testing.assert_allclose(np.asarray(st1.f), np.asarray(st0.f),
+                               rtol=1e-9, atol=1e-11)
+    st0, th0 = sim0.run(st0, 3)                 # 30 steps at 800 K
+    st1, th1 = sim1.run(st1, 3)
+    assert not bool(st1.overflow) and not bool(st1.unsafe)
+    np.testing.assert_allclose(np.asarray(th1.pe), np.asarray(th0.pe),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(th1.temp), np.asarray(th0.temp),
+                               rtol=1e-8)
+    # block-end thermo pressure needs the tail step's full virial
+    np.testing.assert_allclose(np.asarray(th1.press), np.asarray(th0.press),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(st1.x), np.asarray(st0.x),
+                               rtol=1e-9, atol=1e-9)
+    # a light step must really have skipped the tallies
+    assert float(jnp.sum(jnp.abs(st1.virial))) > 0.0   # tail step is full
+
+
+def test_short_rows_overflow_poisons(ni_pot):
+    """Rows past k_short must NaN-poison the observables, never silently
+    drop pairs (the Pallas short path's policy, applied to ShortRows)."""
+    from meng_zhang_tpu.geometry.lattice import FCC_BASIS, simple_lattice
+    from meng_zhang_tpu.models.annp import (effective_cutoff,
+                                            make_short_chunked_fns)
+    from meng_zhang_tpu.system.neighbors import build_neighbors_n2
+
+    mcfg, params = make_annp(ni_pot, dtype=jnp.float64)
+    x_np, box_np = simple_lattice([3, 3, 3], 3.52, FCC_BASIS)
+    x, box = jnp.asarray(x_np), jnp.asarray(box_np)
+    rc = effective_cutoff(ni_pot)
+    force_fn, _, short_build = make_short_chunked_fns(
+        mcfg, params, k_short=8, delta=0.3, chunk=64)   # 8 << 18 neighbors
+    nbrs = build_neighbors_n2(x, box, rc + 0.5, 64)
+    short = short_build(x, box, nbrs)
+    assert bool(short.overflow)
+    e, f, w = force_fn(x, box, nbrs, short)
+    assert not np.isfinite(float(e))
+    assert not np.all(np.isfinite(np.asarray(f)))
