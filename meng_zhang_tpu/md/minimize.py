@@ -48,7 +48,9 @@ def fire_minimize(force_fn: Callable, x0, box, nbr_idx,
     Callers should rebuild the neighbor list and re-run until displacement
     converges (see `fire_relax`).
     """
-    pe, f = force_fn(x0, box, nbr_idx)
+    # jit the initial eval: run eagerly, a production-size force pipeline
+    # materializes every chunk temporary at once (OOMs the chip at 2M atoms)
+    pe, f = jax.jit(force_fn)(x0, box, nbr_idx)
     s = FireState(x=x0, v=jnp.zeros_like(x0), f=f, pe=pe,
                   dt=jnp.asarray(dt0, x0.dtype),
                   alpha=jnp.asarray(alpha0, x0.dtype),

@@ -573,7 +573,163 @@ class ShortList(NamedTuple):
                                            # bits 12.. round(10*min_miss_r)
 
 
-class PallasAnnp:
+class PairTableOps:
+    """Shared machinery for fused pair-table evaluators (PallasAnnp and
+    ops.pallas_ni.PallasNi): component-layout displacement gathers, the
+    refresh-static short-list compaction (banded delivery keys), and the
+    sort-involution force delivery. Subclasses provide `k_short`,
+    `short_delta`, `pbc`, `assemble_sort_elems`, and the `short_rc`
+    property (the cutoff the short list compacts against)."""
+
+    @property
+    def short_rc(self):
+        raise NotImplementedError
+
+    def _pair_dx(self, x, box, nbr_idx, row_chunk=4096):
+        """[N_pad, K] displacement components; rows padded to TILE multiple.
+
+        Neighbor coordinates come from row gathers of an [N+1, 8]-packed
+        position table (one 8-float-row gather runs ~8x faster than three
+        scalar gathers of the same slots). The gather's [C, K, 8] output is
+        lane-padded 16x by TPU tiling, so it is produced in row chunks and
+        immediately reduced to the three [C, K] components.
+        """
+        n = x.shape[0]
+        k = nbr_idx.shape[1]
+        n_pad = max(-(-n // TILE) * TILE, nbr_idx.shape[0])
+        idx = nbr_idx
+        if idx.shape[0] != n_pad:
+            idx = jnp.concatenate(
+                [idx, jnp.full((n_pad - idx.shape[0], idx.shape[1]), n,
+                               jnp.int32)])
+        xi_all = x if n_pad == n else jnp.concatenate(
+            [x, jnp.zeros((n_pad - n, 3), x.dtype)])
+        x8 = jnp.pad(x, ((0, 1), (0, 5)))                  # [N+1, 8]
+
+        def block(idx_c, xi_c):
+            xj = x8[jnp.minimum(idx_c, n)]                 # [C, K, 8]
+            valid = idx_c < n
+            out = []
+            for d in range(3):
+                dd = xi_c[:, d][:, None] - xj[:, :, d]
+                if self.pbc[d]:
+                    dd = dd - box[d] * jnp.round(dd / box[d])
+                out.append(jnp.where(valid, dd, 2.0 * box[d] + 10.0))
+            return tuple(out)
+
+        if n_pad <= row_chunk:
+            return list(block(idx, xi_all))
+        c_pad = -(-n_pad // row_chunk) * row_chunk
+        if c_pad != n_pad:
+            idx = jnp.concatenate(
+                [idx, jnp.full((c_pad - n_pad, k), n, jnp.int32)])
+            xi_all = jnp.concatenate(
+                [xi_all, jnp.zeros((c_pad - n_pad, 3), x.dtype)])
+        outs = jax.lax.map(lambda a: block(*a),
+                           (idx.reshape(-1, row_chunk, k),
+                            xi_all.reshape(-1, row_chunk, 3)))
+        return [o.reshape(c_pad, k)[:n_pad] for o in outs]
+
+    def _assemble(self, fjx, fjy, fjz, akey, ok, n, ks):
+        """F_a = -sum_s Fj[a,s] + sum(partner contributions) via ONE banded
+        sort (see _pair_dx_repacked for the key construction)."""
+        p = fjx.shape[0]
+        if p * ks <= self.assemble_sort_elems:
+            _, px, py, pz = jax.lax.sort(
+                (akey.reshape(-1), fjx.reshape(-1), fjy.reshape(-1),
+                 fjz.reshape(-1)), num_keys=1)
+        else:
+            # memory-lean: the 4-operand global sort doubles ~12 GB of
+            # operands at 2M atoms; three 2-operand sorts halve the peak
+            ak = akey.reshape(-1)
+            px = jax.lax.sort((ak, fjx.reshape(-1)), num_keys=1)[1]
+            py = jax.lax.sort((ak, fjy.reshape(-1)), num_keys=1)[1]
+            pz = jax.lax.sort((ak, fjz.reshape(-1)), num_keys=1)[1]
+        f = []
+        for fj, part in zip((fjx, fjy, fjz), (px, py, pz)):
+            own = -jnp.sum(fj[:n], axis=1)
+            f.append(own + jnp.sum(part.reshape(p, ks)[:n], axis=1))
+        return jnp.stack(f, axis=1)
+
+    def _compact_block(self, x8, n, k, box, rc_s, idx_c, rev_c, xi_c, i0):
+        """One row-chunk of compact_short: distance-test the skin rows at
+        rc + short_delta and pack the hits to their in-cutoff prefix with a
+        stable 2-operand row sort (no displacement payloads -- the per-step
+        evaluation re-gathers positions anyway)."""
+        ks = self.k_short
+        xj = x8[jnp.minimum(idx_c, n)]                 # [C, K, 8]
+        valid = idx_c < n
+        rsq = jnp.zeros(idx_c.shape, x8.dtype)
+        for d in range(3):
+            c = xi_c[:, d][:, None] - xj[:, :, d]
+            if self.pbc[d]:
+                c = c - box[d] * jnp.round(c / box[d])
+            c = jnp.where(valid, c, 2.0 * box[d] + 10.0)
+            rsq = rsq + c * c
+        mask = valid & (rsq < rc_s * rc_s) & (rsq > 1.0e-12)
+        counts = jnp.sum(mask.astype(jnp.int32), axis=1)
+        packed = jnp.minimum(idx_c, n) * 512 + jnp.minimum(rev_c, k)
+        key = 1 - mask.astype(jnp.int32)
+        _, pk_ = jax.lax.sort((key, packed), dimension=1, num_keys=1)
+        pk_ = pk_[:, :ks]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (idx_c.shape[0], ks), 1)
+        rows = i0 + jax.lax.broadcasted_iota(
+            jnp.int32, (idx_c.shape[0], ks), 0)
+        ok = lane < counts[:, None]
+        j_c = pk_ // 512
+        t_c = pk_ - j_c * 512
+        akey = jnp.where(ok & (t_c < k),
+                         j_c * (2 * k) + t_c,
+                         rows * (2 * k) + k + lane)
+        sidx = jnp.where(ok, jnp.minimum(j_c, n), n)
+        return sidx, akey, ok, jnp.any(counts > ks)
+
+    def compact_short(self, x, box, nbr_idx, rev_slots, row_chunk=8192):
+        """Build the refresh-static ShortList from the skin list.
+
+        Each skin row is compacted to its entries within rc + short_delta
+        (stable slot order, same banded delivery-key construction as
+        _pair_dx_repacked, so one flat sort still delivers every pair
+        contribution). The list stays valid while no atom has moved more
+        than short_delta/2 since this call: a pair outside rc + delta needs
+        two half-delta moves to enter rc, and entries that drift past rc
+        merely evaluate to fc = 0. Callers refresh on that displacement
+        criterion (md/simulation.py runs it on a fixed in-scan cadence with
+        an exact per-step unsafe check).
+
+        TPU equivalent of running k_annp_short_nbor (fe/lib/lal_annp.cu:
+        267-344) once per neighbor-list epoch instead of once per step.
+        """
+        n = x.shape[0]
+        k = nbr_idx.shape[1]
+        assert k <= 512, "int32 (row, slot) packing assumes capacity <= 512"
+        rc_s = self.short_rc + self.short_delta
+        n_pad = -(-n // TILE) * TILE
+        c_pad = -(-n_pad // row_chunk) * row_chunk
+
+        idx = _padr(nbr_idx, c_pad, n)
+        rev = _padr(rev_slots, c_pad, k)
+        xi_all = _padr(x, c_pad, 0.0)
+        x8 = jnp.pad(x, ((0, 1), (0, 5)))
+        block = functools.partial(self._compact_block, x8, n, k, box, rc_s)
+
+        if c_pad <= row_chunk:
+            sidx, akey, ok, ovf = block(idx, rev, xi_all,
+                                        jnp.asarray(0, jnp.int32))
+            return ShortList(sidx[:n_pad], akey[:n_pad], ok[:n_pad], x, ovf)
+        nb = c_pad // row_chunk
+        outs = jax.lax.map(
+            lambda a: block(*a),
+            (idx.reshape(nb, row_chunk, k), rev.reshape(nb, row_chunk, k),
+             xi_all.reshape(nb, row_chunk, 3),
+             jnp.arange(nb, dtype=jnp.int32) * row_chunk))
+        ks = self.k_short
+        sidx, akey = (o.reshape(c_pad, ks)[:n_pad] for o in outs[:2])
+        ok = outs[2].reshape(c_pad, ks)[:n_pad]
+        return ShortList(sidx, akey, ok, x, jnp.any(outs[3]))
+
+
+class PallasAnnp(PairTableOps):
     """Fused-kernel evaluator for a single-element Chebyshev ANNP model.
 
     k_short: per-step short-neighbor repack width (the TPU equivalent of the
@@ -633,50 +789,9 @@ class PallasAnnp:
         self.w3 = w3.astype(dt)                  # [1, nnod]
         self.b3 = b3.reshape(1, -1).astype(dt)
 
-    def _pair_dx(self, x, box, nbr_idx, row_chunk=4096):
-        """[N_pad, K] displacement components; rows padded to TILE multiple.
-
-        Neighbor coordinates come from row gathers of an [N+1, 8]-packed
-        position table (one 8-float-row gather runs ~8x faster than three
-        scalar gathers of the same slots). The gather's [C, K, 8] output is
-        lane-padded 16x by TPU tiling, so it is produced in row chunks and
-        immediately reduced to the three [C, K] components.
-        """
-        n = x.shape[0]
-        k = nbr_idx.shape[1]
-        n_pad = max(-(-n // TILE) * TILE, nbr_idx.shape[0])
-        idx = nbr_idx
-        if idx.shape[0] != n_pad:
-            idx = jnp.concatenate(
-                [idx, jnp.full((n_pad - idx.shape[0], idx.shape[1]), n,
-                               jnp.int32)])
-        xi_all = x if n_pad == n else jnp.concatenate(
-            [x, jnp.zeros((n_pad - n, 3), x.dtype)])
-        x8 = jnp.pad(x, ((0, 1), (0, 5)))                  # [N+1, 8]
-
-        def block(idx_c, xi_c):
-            xj = x8[jnp.minimum(idx_c, n)]                 # [C, K, 8]
-            valid = idx_c < n
-            out = []
-            for d in range(3):
-                dd = xi_c[:, d][:, None] - xj[:, :, d]
-                if self.pbc[d]:
-                    dd = dd - box[d] * jnp.round(dd / box[d])
-                out.append(jnp.where(valid, dd, 2.0 * box[d] + 10.0))
-            return tuple(out)
-
-        if n_pad <= row_chunk:
-            return list(block(idx, xi_all))
-        c_pad = -(-n_pad // row_chunk) * row_chunk
-        if c_pad != n_pad:
-            idx = jnp.concatenate(
-                [idx, jnp.full((c_pad - n_pad, k), n, jnp.int32)])
-            xi_all = jnp.concatenate(
-                [xi_all, jnp.zeros((c_pad - n_pad, 3), x.dtype)])
-        outs = jax.lax.map(lambda a: block(*a),
-                           (idx.reshape(-1, row_chunk, k),
-                            xi_all.reshape(-1, row_chunk, 3)))
-        return [o.reshape(c_pad, k)[:n_pad] for o in outs]
+    @property
+    def short_rc(self):
+        return dict(self.cfg_key)["rc"]
 
     def _mlp_eat_dedg(self, g_pad):
         """XLA-side tiny MLP forward + hand VJP from padded raw descriptors."""
@@ -943,104 +1058,6 @@ class PallasAnnp:
             w = jnp.sum(outs[7], axis=0)
             w = 0.5 * (w + w.T)
         return eat, fjx, fjy, fjz, akey, ok, overflow, w
-
-    def _assemble(self, fjx, fjy, fjz, akey, ok, n, ks):
-        """F_a = -sum_s Fj[a,s] + sum(partner contributions) via ONE banded
-        sort (see _pair_dx_repacked for the key construction)."""
-        p = fjx.shape[0]
-        if p * ks <= self.assemble_sort_elems:
-            _, px, py, pz = jax.lax.sort(
-                (akey.reshape(-1), fjx.reshape(-1), fjy.reshape(-1),
-                 fjz.reshape(-1)), num_keys=1)
-        else:
-            # memory-lean: the 4-operand global sort doubles ~12 GB of
-            # operands at 2M atoms; three 2-operand sorts halve the peak
-            ak = akey.reshape(-1)
-            px = jax.lax.sort((ak, fjx.reshape(-1)), num_keys=1)[1]
-            py = jax.lax.sort((ak, fjy.reshape(-1)), num_keys=1)[1]
-            pz = jax.lax.sort((ak, fjz.reshape(-1)), num_keys=1)[1]
-        f = []
-        for fj, part in zip((fjx, fjy, fjz), (px, py, pz)):
-            own = -jnp.sum(fj[:n], axis=1)
-            f.append(own + jnp.sum(part.reshape(p, ks)[:n], axis=1))
-        return jnp.stack(f, axis=1)
-
-    def _compact_block(self, x8, n, k, box, rc_s, idx_c, rev_c, xi_c, i0):
-        """One row-chunk of compact_short: distance-test the skin rows at
-        rc + short_delta and pack the hits to their in-cutoff prefix with a
-        stable 2-operand row sort (no displacement payloads -- the per-step
-        evaluation re-gathers positions anyway)."""
-        ks = self.k_short
-        xj = x8[jnp.minimum(idx_c, n)]                 # [C, K, 8]
-        valid = idx_c < n
-        rsq = jnp.zeros(idx_c.shape, x8.dtype)
-        for d in range(3):
-            c = xi_c[:, d][:, None] - xj[:, :, d]
-            if self.pbc[d]:
-                c = c - box[d] * jnp.round(c / box[d])
-            c = jnp.where(valid, c, 2.0 * box[d] + 10.0)
-            rsq = rsq + c * c
-        mask = valid & (rsq < rc_s * rc_s) & (rsq > 1.0e-12)
-        counts = jnp.sum(mask.astype(jnp.int32), axis=1)
-        packed = jnp.minimum(idx_c, n) * 512 + jnp.minimum(rev_c, k)
-        key = 1 - mask.astype(jnp.int32)
-        _, pk_ = jax.lax.sort((key, packed), dimension=1, num_keys=1)
-        pk_ = pk_[:, :ks]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (idx_c.shape[0], ks), 1)
-        rows = i0 + jax.lax.broadcasted_iota(
-            jnp.int32, (idx_c.shape[0], ks), 0)
-        ok = lane < counts[:, None]
-        j_c = pk_ // 512
-        t_c = pk_ - j_c * 512
-        akey = jnp.where(ok & (t_c < k),
-                         j_c * (2 * k) + t_c,
-                         rows * (2 * k) + k + lane)
-        sidx = jnp.where(ok, jnp.minimum(j_c, n), n)
-        return sidx, akey, ok, jnp.any(counts > ks)
-
-    def compact_short(self, x, box, nbr_idx, rev_slots, row_chunk=8192):
-        """Build the refresh-static ShortList from the skin list.
-
-        Each skin row is compacted to its entries within rc + short_delta
-        (stable slot order, same banded delivery-key construction as
-        _pair_dx_repacked, so one flat sort still delivers every pair
-        contribution). The list stays valid while no atom has moved more
-        than short_delta/2 since this call: a pair outside rc + delta needs
-        two half-delta moves to enter rc, and entries that drift past rc
-        merely evaluate to fc = 0. Callers refresh on that displacement
-        criterion (md/simulation.py runs it on a fixed in-scan cadence with
-        an exact per-step unsafe check).
-
-        TPU equivalent of running k_annp_short_nbor (fe/lib/lal_annp.cu:
-        267-344) once per neighbor-list epoch instead of once per step.
-        """
-        n = x.shape[0]
-        k = nbr_idx.shape[1]
-        assert k <= 512, "int32 (row, slot) packing assumes capacity <= 512"
-        rc_s = dict(self.cfg_key)["rc"] + self.short_delta
-        n_pad = -(-n // TILE) * TILE
-        c_pad = -(-n_pad // row_chunk) * row_chunk
-
-        idx = _padr(nbr_idx, c_pad, n)
-        rev = _padr(rev_slots, c_pad, k)
-        xi_all = _padr(x, c_pad, 0.0)
-        x8 = jnp.pad(x, ((0, 1), (0, 5)))
-        block = functools.partial(self._compact_block, x8, n, k, box, rc_s)
-
-        if c_pad <= row_chunk:
-            sidx, akey, ok, ovf = block(idx, rev, xi_all,
-                                        jnp.asarray(0, jnp.int32))
-            return ShortList(sidx[:n_pad], akey[:n_pad], ok[:n_pad], x, ovf)
-        nb = c_pad // row_chunk
-        outs = jax.lax.map(
-            lambda a: block(*a),
-            (idx.reshape(nb, row_chunk, k), rev.reshape(nb, row_chunk, k),
-             xi_all.reshape(nb, row_chunk, 3),
-             jnp.arange(nb, dtype=jnp.int32) * row_chunk))
-        ks = self.k_short
-        sidx, akey = (o.reshape(c_pad, ks)[:n_pad] for o in outs[:2])
-        ok = outs[2].reshape(c_pad, ks)[:n_pad]
-        return ShortList(sidx, akey, ok, x, jnp.any(outs[3]))
 
     # ---------------- colored short list (column-sorted delivery) ----------
     def _compact_colored_block(self, x8, n, k, box, idx_c, xi_c, i0):

@@ -46,6 +46,11 @@ def main():
     ap.add_argument("--chunk", type=int, default=1024)
     ap.add_argument("--no-write", action="store_true",
                     help="skip writing the artifact (parameter sweeps)")
+    ap.add_argument("--backend", choices=("pallas", "chunked"),
+                    default="pallas",
+                    help="ni force path: fused Pallas kernels "
+                         "(ops/pallas_ni.py) or the chunked XLA autodiff "
+                         "route (models/annp.py)")
     args = ap.parse_args()
 
     import jax
@@ -78,10 +83,28 @@ def main():
         label = (f"fcc-Ni {len(x_np):,}-atom NVT 1200K melt leg "
                  "(config 2 scene)")
         e_shift = mcfg.e_shift
-        # amortized short repack (refresh every thermo block in-scan) +
-        # light no-virial force on non-thermo steps
-        force_fn, force_fn_light, short_build = make_short_chunked_fns(
-            mcfg, params, k_short=k_short, delta=delta, chunk=chunk)
+        if args.backend == "pallas":
+            # fused transposed-block kernels (ops/pallas_ni.py): hand-VJP
+            # forces + sort-involution delivery, short list refreshed every
+            # thermo block in-scan
+            from meng_zhang_tpu.ops.pallas_ni import PallasNi
+            pk = PallasNi(mcfg, params, k_short=k_short, short_delta=delta)
+
+            def force_fn(xx, bb, nbrs, short):
+                return pk.energy_forces_short(xx, bb, short,
+                                              want_virial=True, shift=False)
+
+            def force_fn_light(xx, bb, nbrs, short):
+                e, f = pk.energy_forces_short(xx, bb, short, shift=False)
+                return e, f, jnp.zeros((3, 3), xx.dtype)
+
+            def short_build(xx, bb, nbrs):
+                return pk.compact_short(xx, bb, nbrs.idx, nbrs.rev)
+        else:
+            # amortized short repack (refresh every thermo block in-scan) +
+            # light no-virial force on non-thermo steps
+            force_fn, force_fn_light, short_build = make_short_chunked_fns(
+                mcfg, params, k_short=k_short, delta=delta, chunk=chunk)
     else:
         from meng_zhang_tpu.geometry.lattice import bcc
         from meng_zhang_tpu.io.potential import read_anna
@@ -114,7 +137,8 @@ def main():
                    ensemble=ensemble, t_target=t_target, tau_t=0.1,
                    thermo_every=thermo, stale_factor=0.5,
                    short_every=thermo if short_build else 0,
-                   short_skin=delta)
+                   short_skin=delta,
+                   with_rev=args.model == "ni" and args.backend == "pallas")
     sim = Simulator(force_fn, jnp.full(n, mass, jnp.float32), cfg,
                     short_build=short_build, force_fn_light=force_fn_light)
     x = jnp.asarray(x_np, jnp.float32)
