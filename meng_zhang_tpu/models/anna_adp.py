@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -372,6 +373,293 @@ def _ef_impl(cfg: AnnaConfig, params, x, box, nbr_idx, elems, want_virial,
     return e, f, w
 
 
+
+
+# ---------------------------------------------------------------------------
+# TPU-layout fast path.
+#
+# The paths above keep the reference-shaped [.., 3] / [.., 3, 3] arrays for
+# oracle-parity clarity, but a trailing dim of 3 tile-pads to 128 lanes on
+# TPU (42x memory/bandwidth waste -- the repo-wide layout rule). The fast
+# path re-lays every per-pair and per-atom quantity as separate component
+# planes: dx as three [C, K] planes, mu as three [N] columns, lambda as six
+# [N] columns (symmetric), and the 12 per-atom fields the reference MPI
+# round-trips between its two GPU phases (rho, mu, lambda, d2, q2;
+# src/pair_anna_adp_gpu.cpp:135-158) packed into one [N, 16] row-gather
+# table. Same formulas, same frozen-(d2,q2) force definition -- only the
+# data layout changes (f64 parity ~1e-12 vs the reference-shaped path).
+# ---------------------------------------------------------------------------
+
+
+def _pair_dx_planes(xc, xpad, idx, box, pbc):
+    """3 x [C, K] displacement planes + squared distance (component layout)."""
+    dx = []
+    rsq = jnp.zeros(idx.shape, xc[0].dtype)
+    for d in range(3):
+        dd = xc[d][:, None] - xpad[d][idx]
+        if pbc[d]:
+            dd = dd - box[d] * jnp.round(dd / box[d])
+        dx.append(dd)
+        rsq = rsq + dd * dd
+    return dx, rsq
+
+
+def _pair_force_planes(gp, rc, fields, dxx, dxy, dxz, r, stpf, dstpf):
+    """`_center_pair_force` on component planes: force contribution
+    g(fields_of_center, x_ct) for x_ct = (dxx, dxy, dxz). `fields` is a
+    dict of broadcast-compatible planes (center: [C, 1]; neighbor: [C, K]).
+    Returns (gx, gy, gz) planes."""
+    A0, yy, gamma, C0 = gp[0], gp[1], gp[2], gp[3]
+    c1F, c2F, V0, b1, b2 = gp[4], gp[5], gp[6], gp[7], gp[8]
+    delta, r0, r1, hc = gp[9], gp[10], gp[11], gp[12]
+    d1, q1, d3, q3 = gp[13], gp[14], gp[15], gp[16]
+
+    z = r - r0
+    ez = jnp.exp(-gamma * z)
+    zyy = A0 * z ** yy
+    gazyy = zyy * gamma
+    drho = (ez * (1.0 + ez) * (zyy * (dstpf + stpf * yy / z) - gazyy)
+            + C0 * dstpf - gazyy * ez * ez)
+    rho_c = fields["rho"]
+    rho_s = jnp.where(rho_c > 1e-30, rho_c, 1.0)
+    dembed = (0.5 * c1F / jnp.sqrt(rho_s) + 2.0 * c2F * rho_c) * drho
+
+    repc = V0 / (b2 - b1)
+    zr = r / r1
+    zb1 = zr ** b1
+    zb2 = zr ** b2
+    rep1 = repc * (b2 / zb1 - b1 / zb2) + delta
+    drep = dstpf * rep1 + stpf * repc * (b2 * b1 / r1 / zr
+                                         * (-1.0 / zb1 + 1.0 / zb2))
+
+    d2_c, q2_c = fields["d2"], fields["q2"]
+    ut = d1 * jnp.exp(-d2_c * r)
+    wt = q1 * jnp.exp(-q2_c * r)
+    au = stpf * (ut + d3)
+    aw = 2.0 * stpf * (wt + q3)
+    dau = dstpf * (ut + d3) + stpf * (-d2_c * ut)
+    daw = dstpf * (wt + q3) + stpf * (-q2_c * wt)
+
+    lxx, lyy, lzz = fields["lxx"], fields["lyy"], fields["lzz"]
+    lxy, lxz, lyz = fields["lxy"], fields["lxz"], fields["lyz"]
+    lam_xx = lxx * dxx + lxy * dxy + lxz * dxz     # (lam . dx) components
+    lam_xy = lxy * dxx + lyy * dxy + lyz * dxz
+    lam_xz = lxz * dxx + lyz * dxy + lzz * dxz
+    lamq = dxx * lam_xx + dxy * lam_xy + dxz * lam_xz
+    mux, muy, muz = fields["mux"], fields["muy"], fields["muz"]
+    mu_x = mux * dxx + muy * dxy + muz * dxz
+    f_v = -(lxx + lyy + lzz) / 3.0
+
+    dterm1 = 0.5 * drep + dembed + dau * mu_x + daw * lamq
+    s = dterm1 / r + f_v * (daw * r + aw)
+    return (s * dxx + aw * lam_xx + au * mux,
+            s * dxy + aw * lam_xy + au * muy,
+            s * dxz + aw * lam_xz + au * muz)
+
+
+def _fields_chunk(cfg, gp, xc, xpad, idx, box, lp_c):
+    """Per-atom fields + energy for one row chunk, component layout.
+
+    Returns (e_at [C], field planes dict of [C])."""
+    A0, yy, gamma, C0 = gp[0], gp[1], gp[2], gp[3]
+    c1F, c2F, V0, b1, b2 = gp[4], gp[5], gp[6], gp[7], gp[8]
+    delta, r0, r1, hc = gp[9], gp[10], gp[11], gp[12]
+    d1, q1, d3, q3 = gp[13], gp[14], gp[15], gp[16]
+    rc = cfg.cut
+    n = xpad[0].shape[0] - 1
+    dx, rsq = _pair_dx_planes(xc, xpad, idx, box, cfg.pbc)
+    m = (idx < n) & (rsq < rc * rc) & (rsq > 1.0e-12)
+    r = jnp.sqrt(jnp.where(m, rsq, 1.0))
+    stx = (r - rc) / hc
+    st4 = stx ** 4
+    step = jnp.where(m, st4 / (1.0 + st4), 0.0)
+
+    d2, q2 = lp_c[:, 0:1], lp_c[:, 1:2]                  # [C, 1]
+    u = step * (d1 * jnp.exp(-d2 * r) + d3)
+    w = step * (q1 * jnp.exp(-q2 * r) + q3)
+    f = {"d2": d2[:, 0], "q2": q2[:, 0]}
+    f["mux"] = jnp.sum(u * dx[0], axis=1)
+    f["muy"] = jnp.sum(u * dx[1], axis=1)
+    f["muz"] = jnp.sum(u * dx[2], axis=1)
+    f["lxx"] = jnp.sum(w * dx[0] * dx[0], axis=1)
+    f["lyy"] = jnp.sum(w * dx[1] * dx[1], axis=1)
+    f["lzz"] = jnp.sum(w * dx[2] * dx[2], axis=1)
+    f["lxy"] = jnp.sum(w * dx[0] * dx[1], axis=1)
+    f["lxz"] = jnp.sum(w * dx[0] * dx[2], axis=1)
+    f["lyz"] = jnp.sum(w * dx[1] * dx[2], axis=1)
+
+    z = r - r0
+    ez = jnp.exp(-gamma * z)
+    rho = jnp.sum(step * (A0 * jnp.where(m, z, 1.0) ** yy * ez * (1.0 + ez)
+                          + C0), axis=1)
+    f["rho"] = rho
+    zr = r / r1
+    repul = jnp.sum(step * (V0 / (b2 - b1)
+                            * (b2 / zr ** b1 - b1 / zr ** b2) + delta),
+                    axis=1)
+    rho_safe = jnp.where(rho > 1e-30, rho, 1.0)
+    embed = jnp.where(rho > 1e-30,
+                      c1F * jnp.sqrt(rho_safe) + c2F * rho * rho, 0.0)
+    nu = f["lxx"] + f["lyy"] + f["lzz"]
+    musq = f["mux"] ** 2 + f["muy"] ** 2 + f["muz"] ** 2
+    lamsq = (f["lxx"] ** 2 + f["lyy"] ** 2 + f["lzz"] ** 2
+             + 2.0 * (f["lxy"] ** 2 + f["lxz"] ** 2 + f["lyz"] ** 2))
+    e_at = 0.5 * repul + embed + 0.5 * musq + 0.5 * lamsq - nu * nu / 6.0
+    return e_at, f
+
+
+_FIELD_ORDER = ("rho", "mux", "muy", "muz", "lxx", "lyy", "lzz",
+                "lxy", "lxz", "lyz", "d2", "q2")
+
+
+def _force_chunk(cfg, gp, xc, xpad, idx, box, ftab, own, eps=None,
+                 eps_mask=None):
+    """Newton-off pair forces for one row chunk: both i- and j-centered
+    contributions gathered (k_anna_adp's formulation, lal_anna_adp.cu:
+    642-804). ftab [N+1, 16] packs _FIELD_ORDER; own: dict of this chunk's
+    center field columns [C]. Returns (fx, fy, fz [C], virial [3, 3])."""
+    rc = cfg.cut
+    hc = gp[12]
+    n = xpad[0].shape[0] - 1
+    dx, rsq = _pair_dx_planes(xc, xpad, idx, box, cfg.pbc)
+    if eps is not None:
+        dx = [dx[a] + (eps_mask[:, None] if eps_mask is not None else 1.0)
+              * sum(dx[b] * eps[b, a] for b in range(3)) for a in range(3)]
+        rsq = dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2]
+    m = (idx < n) & (rsq < rc * rc) & (rsq > 1.0e-12)
+    mf = m.astype(xc[0].dtype)
+    r = jnp.sqrt(jnp.where(m, rsq, 1.0))
+    stx = (r - rc) / hc
+    t1 = 1.0 + stx ** 4
+    stpf = stx ** 4 / t1
+    dstpf = 4.0 * stx ** 3 / (t1 * t1) / hc
+
+    fj16 = ftab[jnp.minimum(idx, n)]                     # [C, K, 16]
+    nbr = {k: fj16[:, :, c] for c, k in enumerate(_FIELD_ORDER)}
+    ctr = {k: own[k][:, None] for k in _FIELD_ORDER}
+    g_self = _pair_force_planes(gp, rc, ctr, dx[0], dx[1], dx[2], r,
+                                stpf, dstpf)
+    g_nbr = _pair_force_planes(gp, rc, nbr, -dx[0], -dx[1], -dx[2], r,
+                               stpf, dstpf)
+    fp = [(gn - gs) * mf for gn, gs in zip(g_nbr, g_self)]
+    f = [jnp.sum(c, axis=1) for c in fp]
+    wv = jnp.asarray([[0.5 * jnp.sum(dx[a] * fp[b] * mf) for b in range(3)]
+                      for a in range(3)])
+    return f[0], f[1], f[2], wv
+
+
+class AnnaShort(NamedTuple):
+    """Refresh-static compacted rows for the ANNA fast path (the chunked
+    analogue of models.annp.ShortRows -- no delivery keys needed: the
+    newton-off gather needs no assembly at all)."""
+    idx: jax.Array
+    ref_x: jax.Array
+    overflow: jax.Array
+
+
+def make_anna_fast_fns(cfg: AnnaConfig, params, k_short=64, delta=0.3,
+                       chunk=2048):
+    """Production force/short-build trio for the TPU-layout ANNA path.
+
+    Per eval: (1) raw Chebyshev G via the shared [C, K]-plane chunk
+    (models.annp.chunk_g_cheb -- ANNA's descriptors are the identical raw
+    sums), MLP -> (d2, q2); (2) per-atom fields rho/mu/lambda + atom
+    energies; (3) newton-off pair forces with partner fields fetched
+    through one packed [N, 16] row gather -- the in-graph equivalent of
+    the reference's 12 forward_comm ghost fields. Returns
+    (force_fn, force_fn_light, short_build) for
+    Simulator(..., short_build=..., force_fn_light=...) with
+    cfg.short_every > 0, cfg.short_skin == delta."""
+    from .annp import chunk_g_cheb, compact_neighbor_rows
+    gp = params["gp"]
+    rc = cfg.cut
+    w1, w2, w3 = (params["w"][l][0] for l in range(3))
+    b1_, b2_, b3_ = (params["b"][l][0] for l in range(3))
+
+    def short_build(x, box, nbrs):
+        idx_s, ovf = compact_neighbor_rows(x, box, nbrs.idx, rc + delta,
+                                           k_short, pbc=cfg.pbc)
+        return AnnaShort(idx=idx_s, ref_x=x, overflow=ovf)
+
+    def _mlp2(g):
+        # values only (forces freeze d2/q2): mlp_apply carries the ANNA
+        # activation style (1.7 tanh(0.3 x), pair_anna_adp.cpp:695-717)
+        return mlp_apply((w1, w2, w3), (b1_, b2_, b3_), cfg.flagact,
+                         cfg.act_style, g)                # [C, 2]
+
+    def _eval(x, box, idx, want_virial, eps=None):
+        n = x.shape[0]
+        k = idx.shape[1]
+        n_pad = -(-n // chunk) * chunk
+        xpad = tuple(jnp.concatenate([x[:, d], jnp.zeros((1,), x.dtype)])
+                     for d in range(3))
+        idx_p = _pad2(idx, n_pad, n).reshape(-1, chunk, k)
+        xc = tuple(_pad2(x[:, d], n_pad, 0.0).reshape(-1, chunk)
+                   for d in range(3))
+        valid = (jnp.arange(n_pad) < n).reshape(-1, chunk)
+
+        # phase 1+2: (d2, q2), fields, atom energies -- one chunked sweep
+        @jax.checkpoint
+        def p12(args):
+            x0, x1, x2, ic, vc = args
+            g = chunk_g_cheb(cfg.npsf, cfg.ntsf, rc, cfg.pbc, (x0, x1, x2),
+                             xpad, ic, box)
+            lp_c = _mlp2(g)
+            e_at, f = _fields_chunk(cfg, gp, (x0, x1, x2), xpad, ic, box,
+                                    lp_c)
+            e_at = jnp.where(vc, e_at, 0.0)
+            return e_at, jnp.stack([f[kk] for kk in _FIELD_ORDER], axis=1)
+
+        e_at, fcols = jax.lax.map(p12, (xc[0], xc[1], xc[2], idx_p, valid))
+        e_at = e_at.reshape(n_pad)[:n]
+        fcols = fcols.reshape(n_pad, len(_FIELD_ORDER))
+        ftab = jnp.pad(fcols[:n], ((0, 1), (0, 16 - len(_FIELD_ORDER))))
+
+        # phase 3: newton-off pair forces from gathered fields
+        owns = {kk: fcols[:, c] for c, kk in enumerate(_FIELD_ORDER)}
+
+        def p3(args):
+            x0, x1, x2, ic, oc, lc = args
+            own = {kk: oc[:, c] for c, kk in enumerate(_FIELD_ORDER)}
+            return _force_chunk(cfg, gp, (x0, x1, x2), xpad, ic, box, ftab,
+                                own, eps=eps,
+                                eps_mask=lc.astype(x.dtype)
+                                if eps is not None else None)
+
+        fx, fy, fz, wv = jax.lax.map(
+            p3, (xc[0], xc[1], xc[2], idx_p,
+                 fcols.reshape(-1, chunk, len(_FIELD_ORDER)), valid))
+        f = jnp.stack([fx.reshape(n_pad)[:n], fy.reshape(n_pad)[:n],
+                       fz.reshape(n_pad)[:n]], axis=1)
+        w = None
+        if want_virial:
+            w = jnp.sum(wv, axis=0)
+            w = 0.5 * (w + w.T)
+        # shift-free sum (e_base = -4473 eV/atom; e_at excludes it here)
+        e = jnp.sum(e_at)
+        return e, f, w
+
+    def _poison(e, f, ovf):
+        nan = jnp.asarray(jnp.nan, f.dtype)
+        return jnp.where(ovf, nan, e), jnp.where(ovf, nan, f)
+
+    def force_fn(x, box, nbrs, short):
+        e, f, w = _eval(x, box, short.idx, want_virial=True)
+        e, f = _poison(e, f, short.overflow)
+        return e, f, w
+
+    def force_fn_light(x, box, nbrs, short):
+        e, f, _ = _eval(x, box, short.idx, want_virial=False)
+        e, f = _poison(e, f, short.overflow)
+        return e, f, jnp.zeros((3, 3), x.dtype)
+
+    return force_fn, force_fn_light, short_build
+
+
+def _pad2(a, rows, fill):
+    return jnp.concatenate(
+        [a, jnp.full((rows - a.shape[0],) + a.shape[1:], fill, a.dtype)]) \
+        if rows != a.shape[0] else a
 
 
 def energy_forces_frame(cfg: AnnaConfig, params, xc, x_src, box, idx, off,

@@ -176,23 +176,23 @@ def _strain_dx(dx, eps, mask=None):
             for a in range(3)]
 
 
-def _chunk_energy_cheb(cfg: AnnpConfig, params, xc, xpad, idx, box,
-                       valid=None, eps=None, eps_mask=None, reduce=True):
-    """Chebyshev chunk energy in TPU-friendly [C, K] component layout.
+def chunk_g_cheb(npsf, ntsf, rc, pbc, xc, xpad, idx, box,
+                 eps=None, eps_mask=None):
+    """Raw Chebyshev descriptors [C, nsf] in TPU-friendly [C, K] component
+    layout (shared by the fe chunked energy and the ANNA-ADP fast path --
+    ANNA evaluates the identical raw sums, pair_anna_adp.cpp:653-680).
 
     xc: 3 x [C] chunk coordinates; xpad: 3 x [N+1] padded coordinates;
     idx: [C, K]. All per-pair math runs on [C, K] / [C, K, K] arrays --
     never a trailing-3 axis, which TPU tiling would pad to 128.
-    Returns summed chunk energy.
     """
     n = xpad[0].shape[0] - 1
-    rc = cfg.cut
     mask = idx < n
     dx = []
     rsq0 = jnp.zeros(idx.shape, xc[0].dtype)
     for d in range(3):
         dd = xc[d][:, None] - xpad[d][idx]
-        if cfg.pbc[d]:
+        if pbc[d]:
             dd = dd - box[d] * jnp.round(dd / box[d])
         dx.append(dd)
         rsq0 = rsq0 + dd * dd
@@ -208,9 +208,9 @@ def _chunk_energy_cheb(cfg: AnnpConfig, params, xc, xpad, idx, box,
     t_prev = jnp.ones_like(xch)
     t_cur = xch
     g_rad = [jnp.sum(fc, axis=1)]
-    if cfg.npsf > 1:
+    if npsf > 1:
         g_rad.append(jnp.sum(t_cur * fc, axis=1))
-    for _ in range(2, cfg.npsf):
+    for _ in range(2, npsf):
         t_prev, t_cur = t_cur, 2.0 * xch * t_cur - t_prev
         g_rad.append(jnp.sum(t_cur * fc, axis=1))
     g_rad = jnp.stack(g_rad, axis=1)
@@ -227,14 +227,20 @@ def _chunk_energy_cheb(cfg: AnnpConfig, params, xc, xpad, idx, box,
     t_prev = jnp.ones_like(xa)
     t_cur = xa
     g_ang = [jnp.sum(wjk, axis=(1, 2))]
-    if cfg.ntsf > 1:
+    if ntsf > 1:
         g_ang.append(jnp.sum(wjk * t_cur, axis=(1, 2)))
-    for _ in range(2, cfg.ntsf):
+    for _ in range(2, ntsf):
         t_prev, t_cur = t_cur, 2.0 * xa * t_cur - t_prev
         g_ang.append(jnp.sum(wjk * t_cur, axis=(1, 2)))
     g_ang = 0.5 * jnp.stack(g_ang, axis=1)
+    return jnp.concatenate([g_rad, g_ang], axis=1)
 
-    g = jnp.concatenate([g_rad, g_ang], axis=1)
+
+def _chunk_energy_cheb(cfg: AnnpConfig, params, xc, xpad, idx, box,
+                       valid=None, eps=None, eps_mask=None, reduce=True):
+    """Chebyshev chunk energy (see chunk_g_cheb for the layout rules)."""
+    g = chunk_g_cheb(cfg.npsf, cfg.ntsf, cfg.cut, cfg.pbc, xc, xpad, idx,
+                     box, eps, eps_mask)
     g = (g - params["sf_shift"]) * params["sf_scale"]
     w = tuple(wl[0] for wl in params["w"])      # single-element fast path
     b = tuple(bl[0] for bl in params["b"])

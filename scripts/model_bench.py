@@ -119,14 +119,27 @@ def main():
         steps = args.steps or 100
         label = (f"bcc-Fe ANNA-ADP {len(x_np):,}-atom NVE 300K "
                  "(anna-gpu-lammps scene class)")
-        e_shift = 0.0
+        e_shift = mcfg.e_base
+        if args.backend == "pallas":
+            # TPU-layout fast path: component planes + packed field gather
+            # (make_anna_fast_fns); shift-free energies, refresh-static
+            # short rows
+            # bcc-Fe has 58 neighbors within rc+delta = 5.26 A (next shell
+            # 5.39 A); 72 leaves thermal headroom. Lanes pad to 128 either
+            # way -- only the [C, K, K] phase-1 angular scales with K here
+            k_short, delta = 72, 0.2
+            force_fn, force_fn_light, short_build = \
+                anna_adp.make_anna_fast_fns(mcfg, params, k_short=k_short,
+                                            delta=delta, chunk=2048)
+        else:
+            e_shift = 0.0
 
-        def force_fn(xx, bb, nbrs):
-            e, f = anna_adp.energy_forces(mcfg, params, xx, bb, nbrs.idx)
-            return e, f, jnp.zeros((3, 3), xx.dtype)
+            def force_fn(xx, bb, nbrs):
+                e, f = anna_adp.energy_forces(mcfg, params, xx, bb, nbrs.idx)
+                return e, f, jnp.zeros((3, 3), xx.dtype)
 
-        force_fn_light = short_build = None
-        delta = 0.0
+            force_fn_light = short_build = None
+            delta = 0.0
 
     n = len(x_np)
     log(f"{label}: {n} atoms, box {np.round(box_np, 1)}, rc={rc:.3f}")

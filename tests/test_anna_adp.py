@@ -84,3 +84,40 @@ def test_virial_finite(setup):
     e, f, w = energy_forces_virial(cfg, params, x, box, nbrs.idx)
     assert np.all(np.isfinite(np.asarray(w)))
     np.testing.assert_allclose(np.asarray(w), np.asarray(w).T)
+
+
+def test_fast_path_matches_reference_layout(setup):
+    """The TPU-layout fast path (make_anna_fast_fns: component planes,
+    packed field gather) must reproduce the reference-shaped path's
+    energy, forces, and virial to f.p. reordering."""
+    from meng_zhang_tpu.models.anna_adp import make_anna_fast_fns
+    cfg, params, x, box, nbrs = setup
+    n = x.shape[0]
+    e_ref, f_ref, w_ref = energy_forces_virial(cfg, params, x, box,
+                                               nbrs.idx, shift=False)
+    force_fn, force_fn_light, short_build = make_anna_fast_fns(
+        cfg, params, k_short=64, delta=0.3, chunk=16)
+    short = short_build(x, box, nbrs)
+    assert not bool(short.overflow)
+    e, f, w = force_fn(x, box, nbrs, short)
+    np.testing.assert_allclose(float(e), float(e_ref), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
+                               rtol=1e-8, atol=1e-9)
+    e_l, f_l, w_l = force_fn_light(x, box, nbrs, short)
+    np.testing.assert_allclose(np.asarray(f_l), np.asarray(f),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_fast_path_vs_oracle(anna_pot, setup):
+    """Fast path vs the numpy oracle directly (headline parity bar)."""
+    from meng_zhang_tpu.models.anna_adp import make_anna_fast_fns
+    cfg, params, x, box, nbrs = setup
+    _, f_ref, _, _ = oracle_numpy.anna_adp_energy_forces(
+        anna_pot, np.asarray(x), np.asarray(box))
+    force_fn, _, short_build = make_anna_fast_fns(cfg, params, k_short=64,
+                                                  delta=0.3, chunk=16)
+    short = short_build(x, box, nbrs)
+    _, f, _ = force_fn(x, box, nbrs, short)
+    assert np.max(np.abs(np.asarray(f) - f_ref)) < 1e-6
