@@ -236,23 +236,44 @@ def chunk_g_cheb(npsf, ntsf, rc, pbc, xc, xpad, idx, box,
     return jnp.concatenate([g_rad, g_ang], axis=1)
 
 
+def _chunk_mlp_eat(cfg, params, g, elems_c):
+    """Per-atom energies from normalized descriptors, selecting each
+    atom's element network. Multi-element runs every (tiny) network on the
+    chunk and masks -- a dense select instead of gathering weight
+    matrices, matching the reference's per-type map dispatch
+    (fe/src/pair_annp.cpp:252-297). Normalization rows are shared across
+    elements (one pair of rows in the .ann header, io/potential.py)."""
+    ne = params["w"][0].shape[0]
+    if ne == 1 or elems_c is None:
+        w = tuple(wl[0] for wl in params["w"])
+        b = tuple(bl[0] for bl in params["b"])
+        out = mlp_apply(w, b, cfg.flagact, cfg.act_style, g)[:, 0]
+    else:
+        out = jnp.zeros(g.shape[0], g.dtype)
+        for e in range(ne):
+            w = tuple(wl[e] for wl in params["w"])
+            b = tuple(bl[e] for bl in params["b"])
+            o = mlp_apply(w, b, cfg.flagact, cfg.act_style, g)[:, 0]
+            out = jnp.where(elems_c == e, o, out)
+    return cfg.e_scale * out + cfg.e_shift
+
+
 def _chunk_energy_cheb(cfg: AnnpConfig, params, xc, xpad, idx, box,
-                       valid=None, eps=None, eps_mask=None, reduce=True):
+                       valid=None, eps=None, eps_mask=None, reduce=True,
+                       elems_c=None):
     """Chebyshev chunk energy (see chunk_g_cheb for the layout rules)."""
     g = chunk_g_cheb(cfg.npsf, cfg.ntsf, cfg.cut, cfg.pbc, xc, xpad, idx,
                      box, eps, eps_mask)
     g = (g - params["sf_shift"]) * params["sf_scale"]
-    w = tuple(wl[0] for wl in params["w"])      # single-element fast path
-    b = tuple(bl[0] for bl in params["b"])
-    out = mlp_apply(w, b, cfg.flagact, cfg.act_style, g)
-    e_at = cfg.e_scale * out[:, 0] + cfg.e_shift
+    e_at = _chunk_mlp_eat(cfg, params, g, elems_c)
     if valid is not None:
         e_at = jnp.where(valid, e_at, 0.0)
     return jnp.sum(e_at) if reduce else e_at
 
 
 def _chunk_energy_behler(cfg: AnnpConfig, params, xc, xpad, idx, box,
-                         valid=None, eps=None, eps_mask=None, reduce=True):
+                         valid=None, eps=None, eps_mask=None, reduce=True,
+                         elems_c=None):
     """Behler-Parrinello chunk energy in [C, K] component layout (ni).
 
     Same layout rules as `_chunk_energy_cheb`; the G4 three-leg geometry
@@ -324,10 +345,7 @@ def _chunk_energy_behler(cfg: AnnpConfig, params, xc, xpad, idx, box,
 
     g = jnp.stack(g_rad + g_ang, axis=1)
     g = (g - params["sf_shift"]) * params["sf_scale"]
-    w = tuple(wl[0] for wl in params["w"])
-    b = tuple(bl[0] for bl in params["b"])
-    out = mlp_apply(w, b, cfg.flagact, cfg.act_style, g)
-    e_at = cfg.e_scale * out[:, 0] + cfg.e_shift
+    e_at = _chunk_mlp_eat(cfg, params, g, elems_c)
     if valid is not None:
         e_at = jnp.where(valid, e_at, 0.0)
     return jnp.sum(e_at) if reduce else e_at
@@ -486,13 +504,6 @@ def energy_chunked(cfg: AnnpConfig, params, x, box, nbr_idx, elems=None,
     """
     n = x.shape[0]
     multi_elem = elems is not None and bool(params["w"][0].shape[0] > 1)
-    if multi_elem:
-        if eps is not None:
-            raise NotImplementedError(
-                "strained chunked energy: multi-element scenes use "
-                "energy_forces_virial (vmap path)")
-        e = energy(cfg, params, x, box, nbr_idx, elems)
-        return e if shift else e - n * cfg.e_shift
     n_pad = -(-n // chunk) * chunk
     idx_p = _pad_rows(nbr_idx, n_pad - n, n)           # padded rows: all-sentinel
     xpad = tuple(jnp.concatenate([x[:, d], jnp.zeros((1,), x.dtype)])
@@ -501,6 +512,8 @@ def energy_chunked(cfg: AnnpConfig, params, x, box, nbr_idx, elems=None,
                for d in range(3))
     idx_c = idx_p.reshape(-1, chunk, nbr_idx.shape[1])
     valid_c = (jnp.arange(n_pad) < n).reshape(-1, chunk)
+    el_c = (_pad_rows(elems, n_pad - n, 0).reshape(-1, chunk)
+            if multi_elem else jnp.zeros((n_pad // chunk, chunk), jnp.int32))
 
     chunk_fn = (_chunk_energy_cheb if cfg.descriptor == SYM_CHEBYSHEV
                 else _chunk_energy_behler)
@@ -513,13 +526,13 @@ def energy_chunked(cfg: AnnpConfig, params, x, box, nbr_idx, elems=None,
 
     @jax.checkpoint
     def chunk_e(carry, args):
-        xc0, xc1, xc2, idx, valid = args
+        xc0, xc1, xc2, idx, valid, el = args
         e = chunk_fn(cfg0, params, (xc0, xc1, xc2), xpad, idx, box, valid,
-                     eps)
+                     eps, elems_c=el if multi_elem else None)
         return carry + e, None
 
     total, _ = jax.lax.scan(chunk_e, jnp.zeros((), x.dtype),
-                            (xc[0], xc[1], xc[2], idx_c, valid_c))
+                            (xc[0], xc[1], xc[2], idx_c, valid_c, el_c))
     return total + n * cfg.e_shift if shift else total
 
 

@@ -141,6 +141,10 @@ def main():
         x = fst.x
         log(f"minimize: {time.time() - t0:.1f}s fmax={float(fst.fmax):.2e}"
             f" pe={float(fst.pe) + n * mcfg.e_shift:.6e}")
+        # free the minimize-epoch neighbor tables (2.6 GB at 2M atoms)
+        # BEFORE init_state builds its own: holding both plus the eager
+        # first force eval's transients exhausts the chip
+        del fst, nbrs
 
     t0 = time.time()
     st = sim.init_state(x, box, seed=4928459, t_init=300.0)

@@ -207,3 +207,42 @@ def test_ni_energy_chunked_matches_vmap(ni_pot):
     _, f_ref = energy_forces(cfg, params, xj, bj, nbrs.idx)
     _, f_c = energy_forces_chunked(cfg, params, xj, bj, nbrs.idx, chunk=16)
     np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_ref), atol=1e-9)
+
+
+def test_multielement_chunked_matches_vmap(fe_pot):
+    """Synthetic 2-element potential (two distinct networks, shared
+    normalization -- the .ann header's layout): the chunked [C,K] paths
+    select each atom's element network instead of dropping to the vmap
+    oracle path, including the strained (virial) evaluation (VERDICT
+    round-3 item 7; reference map/type dispatch
+    fe/src/pair_annp.cpp:252-297)."""
+    from meng_zhang_tpu.models.annp import (energy_chunked,
+                                            energy_forces_virial_chunked)
+    cfg, params = make_annp(fe_pot, dtype=jnp.float64)
+    rng = np.random.default_rng(5)
+    params2 = dict(params)
+    params2["w"] = tuple(
+        jnp.concatenate([wl, wl * (1.0 + 0.1 * jnp.asarray(
+            rng.uniform(-1, 1, wl.shape)))]) for wl in params["w"])
+    params2["b"] = tuple(
+        jnp.concatenate([bl, bl + 0.05 * jnp.asarray(
+            rng.uniform(-1, 1, bl.shape))]) for bl in params["b"])
+    x, box = perturbed_bcc(n_cells=2)
+    x, box = jnp.asarray(x), jnp.asarray(box)
+    n = x.shape[0]
+    elems = jnp.asarray(rng.integers(0, 2, n), jnp.int32)
+    nbrs = build_neighbors_n2(x, box, cfg.cut, 64)
+    e_ref, f_ref, w_ref = energy_forces_virial(cfg, params2, x, box,
+                                               nbrs.idx, elems)
+    e_c = energy_chunked(cfg, params2, x, box, nbrs.idx, elems, chunk=8)
+    np.testing.assert_allclose(float(e_c), float(e_ref), rtol=1e-12)
+    e2, f2, w2 = energy_forces_virial_chunked(cfg, params2, x, box,
+                                              nbrs.idx, elems, chunk=8)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f_ref),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(w_ref),
+                               rtol=1e-9, atol=1e-11)
+    # the two element networks genuinely differ on this scene
+    e_all0 = energy_chunked(cfg, params2, x, box, nbrs.idx,
+                            jnp.zeros(n, jnp.int32), chunk=8)
+    assert abs(float(e_all0) - float(e_c)) > 0.05
