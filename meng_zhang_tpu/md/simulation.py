@@ -129,7 +129,8 @@ class Simulator:
     def __init__(self, force_fn: Callable, masses, cfg: MDConfig,
                  short_build: Optional[Callable] = None,
                  short_build_colored: Optional[Callable] = None,
-                 force_fn_light: Optional[Callable] = None):
+                 force_fn_light: Optional[Callable] = None,
+                 image_shifts=None):
         """short_build(x, box, nbrs) -> short-list pytree (with .ref_x and
         .overflow leaves) enables the refresh-static short-list fast path:
         force_fn is then called as force_fn(x, box, nbrs, short) and the
@@ -169,6 +170,15 @@ class Simulator:
         self._colored_skip = 0
         self.colored_blocks = 0
         self.banded_blocks = 0
+        # thin-box mode (models.annp.image_shift_table): the neighbor build
+        # runs over the image-extended position table and force_fn must be
+        # image-aware (energy_forces_virial_images); cfg.pbc carries the
+        # pbc_eff with thin dims OFF
+        self.image_shifts = (None if image_shifts is None
+                             else np.asarray(image_shifts))
+        if self.image_shifts is not None:
+            assert short_build is None and not cfg.with_rev, \
+                "thin-box image mode uses the chunked gradient models"
         n = masses.shape[0]
         self.ndof = 3 * n - 3
         self.n = n
@@ -177,6 +187,15 @@ class Simulator:
     def build_nbrs(self, x, box):
         c = self.cfg
         rlist = c.cutoff + c.skin
+        if self.image_shifts is not None:
+            # build over the image-extended table; only the first n rows'
+            # lists are kept (centers = real atoms). Entries reference
+            # extended rows r*n + i = atom i shifted by image_shifts[r].
+            sh = jnp.asarray(self.image_shifts, x.dtype)
+            x_ext = (x[None, :, :] + (sh * box)[:, None, :]).reshape(-1, 3)
+            nl = build_neighbors_n2(x_ext, box, rlist, c.capacity,
+                                    with_rev=False, pbc=c.pbc)
+            return nl._replace(idx=nl.idx[:self.n], ref_x=x)
         if c.nbr_method == "n2":
             return build_neighbors_n2(x, box, rlist, c.capacity,
                                       with_rev=c.with_rev, pbc=c.pbc)
@@ -336,12 +355,14 @@ class Simulator:
         rlist = self.cfg.cutoff + self.cfg.skin
         small = [float(b) for b, p in zip(np.asarray(box), self.cfg.pbc)
                  if p and float(b) < 2.0 * rlist]
-        if small:
+        if small and self.image_shifts is None:
             raise ValueError(
                 f"box edges {small} are below 2*(cutoff+skin)={2 * rlist:.2f} A: "
                 "the single-image minimum-image convention would miss periodic "
-                "images. Replicate the scene first "
-                "(meng_zhang_tpu.geometry.lattice.replicate_data / min_replicas).")
+                "images. Pass image_shifts (models.annp.image_shift_table + "
+                "energy_forces_virial_images, with cfg.pbc = pbc_eff) or "
+                "replicate the scene "
+                "(meng_zhang_tpu.geometry.lattice.replicate_data).")
         dtype = x.dtype
         # own the buffers: run_device donates the state, so caller-held
         # arrays placed in it directly would be deleted under the caller

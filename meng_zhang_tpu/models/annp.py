@@ -563,6 +563,85 @@ def energy_forces_virial_chunked(cfg: AnnpConfig, params, x, box, nbr_idx,
     return e, -g_x, w
 
 
+def image_shift_table(box, rlist, pbc):
+    """Integer image-shift table for boxes with periodic dims thinner than
+    2*rlist (where the single-image minimum-image convention misses
+    periodic self-images -- LAMMPS handles these with ghost atoms).
+
+    Returns (shifts [R, 3] int array with shifts[0] == 0, pbc_eff): the
+    neighbor build and the models then run over the image-extended
+    position table x_ext = (x[None] + shifts*box).reshape(-1, 3) with the
+    thin dims' periodicity OFF (images are explicit). R is bounded by the
+    per-dim replication 2*ceil(rlist/L) + 1. Returns (None, pbc) when no
+    dim is thin."""
+    import itertools
+    ms = [int(np.ceil(rlist / float(b)))
+          if (p and float(b) < 2.0 * rlist) else 0
+          for b, p in zip(np.asarray(box), pbc)]
+    if not any(ms):
+        return None, tuple(pbc)
+    shifts = [np.zeros(3, np.int64)]
+    for s in itertools.product(*[range(-m, m + 1) for m in ms]):
+        if any(s):
+            shifts.append(np.asarray(s, np.int64))
+    pbc_eff = tuple(bool(p) and m == 0 for p, m in zip(pbc, ms))
+    return np.stack(shifts), pbc_eff
+
+
+def energy_forces_virial_images(cfg: AnnpConfig, params, x, box, nbr_idx,
+                                shifts, elems=None, chunk=256, shift=True):
+    """Energy/forces/virial on a thin periodic box via explicit images.
+
+    nbr_idx [n, K] indexes the image-extended table (rows [0, R*n); row
+    r*n + i is atom i shifted by shifts[r]); cfg.pbc must be the pbc_eff
+    from `image_shift_table` (thin dims off). Forces are -dE/dx
+    differentiated THROUGH the in-graph image construction, so an atom
+    interacting with several images of the same partner (or of itself)
+    tallies every image pair -- the single-chip equivalent of LAMMPS'
+    ghost-image bookkeeping. The virial uses the same strained-displacement
+    trick as the other chunked paths (image separations scale with the
+    strain through dx directly)."""
+    n = x.shape[0]
+    sh = jnp.asarray(np.asarray(shifts), x.dtype)              # [R, 3]
+    chunk_fn = (_chunk_energy_cheb if cfg.descriptor == SYM_CHEBYSHEV
+                else _chunk_energy_behler)
+    cfg0 = dataclasses.replace(cfg, e_shift=0.0)
+    multi = elems is not None and bool(params["w"][0].shape[0] > 1)
+    n_pad = -(-n // chunk) * chunk
+    idx_p = _pad_rows(nbr_idx, n_pad - n, sh.shape[0] * n)
+    idx_c = idx_p.reshape(-1, chunk, nbr_idx.shape[1])
+    valid_c = (jnp.arange(n_pad) < n).reshape(-1, chunk)
+    el_c = (_pad_rows(elems, n_pad - n, 0).reshape(-1, chunk)
+            if multi else jnp.zeros((n_pad // chunk, chunk), jnp.int32))
+
+    def f(xx, eps):
+        off = sh * box                                          # [R, 3]
+        x_ext = (xx[None, :, :] + off[:, None, :]).reshape(-1, 3)
+        xpad = tuple(jnp.concatenate([x_ext[:, d],
+                                      jnp.zeros((1,), xx.dtype)])
+                     for d in range(3))
+        xc = tuple(_pad_rows(xx[:, d], n_pad - n, 0.0).reshape(-1, chunk)
+                   for d in range(3))
+
+        @jax.checkpoint
+        def chunk_e(carry, args):
+            xc0, xc1, xc2, idx, valid, el = args
+            e = chunk_fn(cfg0, params, (xc0, xc1, xc2), xpad, idx, box,
+                         valid, eps, elems_c=el if multi else None)
+            return carry + e, None
+
+        total, _ = jax.lax.scan(chunk_e, jnp.zeros((), xx.dtype),
+                                (xc[0], xc[1], xc[2], idx_c, valid_c, el_c))
+        return total
+
+    eps0 = jnp.zeros((3, 3), x.dtype)
+    e, (g_x, g_eps) = jax.value_and_grad(f, argnums=(0, 1))(x, eps0)
+    w = -0.5 * (g_eps + g_eps.T)
+    if shift:
+        e = e + n * cfg.e_shift
+    return e, -g_x, w
+
+
 class ShortRows(NamedTuple):
     """Refresh-static compacted neighbor rows for the chunked XLA paths
     (the ni analogue of the Pallas path's ShortList): rebuilt every

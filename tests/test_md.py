@@ -324,3 +324,76 @@ def test_short_rows_overflow_poisons(ni_pot):
     e, f, w = force_fn(x, box, nbrs, short)
     assert not np.isfinite(float(e))
     assert not np.all(np.isfinite(np.asarray(f)))
+
+
+def test_thin_box_image_nve_parity(fe_pot):
+    """A 1-cell-thick periodic box (every dim < 2*rlist) run in image mode
+    (models.annp.image_shift_table + energy_forces_virial_images) matches
+    the explicitly replicated scene's trajectory -- the TPU equivalent of
+    LAMMPS' ghost-image handling for thin boxes (VERDICT round-3 item 8).
+    """
+    from meng_zhang_tpu.models.annp import (energy_forces_virial_chunked,
+                                            energy_forces_virial_images,
+                                            image_shift_table)
+    cfg, params = make_annp(fe_pot, dtype=jnp.float64)
+    # 1 x 4 x 4 bcc cells, fully periodic: every dim thinner than 2*rlist
+    from meng_zhang_tpu.geometry.lattice import bcc as bcc_lat
+    x_np, box_np = bcc_lat([1, 4, 4])
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(x_np + rng.normal(scale=0.03, size=x_np.shape))
+    box = jnp.asarray(box_np)
+    n = x.shape[0]
+    rlist = cfg.cut + 0.5
+    shifts, pbc_eff = image_shift_table(np.asarray(box), rlist, (True,) * 3)
+    assert shifts is not None and not any(pbc_eff)
+    cfg_eff = dataclasses.replace(cfg, pbc=pbc_eff)
+    ms = np.max(np.asarray(shifts), axis=0)    # images per side
+    reps = 2 * ms + 1
+
+    def force_thin(xx, bb, nbrs):
+        return energy_forces_virial_images(cfg_eff, params, xx, bb,
+                                           nbrs.idx, shifts, chunk=16,
+                                           shift=False)
+
+    mdc = MDConfig(dt=0.001, cutoff=cfg.cut, skin=0.5, capacity=192,
+                   nbr_method="n2", ensemble="nve", thermo_every=2,
+                   pbc=pbc_eff)
+    sim = Simulator(force_thin, jnp.full(n, MASS_FE, jnp.float64), mdc,
+                    image_shifts=shifts)
+    v0 = jnp.asarray(rng.normal(scale=0.3, size=(n, 3)))
+    st = sim.init_state(x, box, v=v0)
+    assert not bool(st.overflow)
+
+    # reference: the explicitly replicated scene (same image grid)
+    import itertools
+    cells = [np.asarray(s) for s in
+             itertools.product(*[range(r) for r in reps])]
+    x_rep = jnp.concatenate([x + jnp.asarray(c * np.asarray(box_np))
+                             for c in cells])
+    v_rep = jnp.concatenate([v0] * len(cells))
+    box_rep = jnp.asarray(box_np * reps)
+    nrep = x_rep.shape[0]
+
+    def force_rep(xx, bb, nbrs):
+        return energy_forces_virial_chunked(cfg, params, xx, bb, nbrs.idx,
+                                            chunk=128, shift=False)
+
+    mdc2 = MDConfig(dt=0.001, cutoff=cfg.cut, skin=0.5, capacity=192,
+                    nbr_method="n2", ensemble="nve", thermo_every=2)
+    sim2 = Simulator(force_rep, jnp.full(nrep, MASS_FE, jnp.float64), mdc2)
+    st2 = sim2.init_state(x_rep, box_rep, v=v_rep)
+    assert not bool(st2.overflow)
+
+    # static parity: per-atom energy and forces of the base copy
+    np.testing.assert_allclose(float(st.pe) / n, float(st2.pe) / nrep,
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(st.f), np.asarray(st2.f[:n]),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(st.virial) * len(cells),
+                               np.asarray(st2.virial), rtol=1e-8, atol=1e-8)
+
+    # dynamic parity: 8 NVE steps stay on the replicated track
+    st, _ = sim.run(st, 4)
+    st2, _ = sim2.run(st2, 4)
+    np.testing.assert_allclose(np.asarray(st.x), np.asarray(st2.x[:n]),
+                               rtol=1e-7, atol=1e-9)
