@@ -382,55 +382,36 @@ def _ef_impl(cfg: AnnaConfig, params, x, box, nbr_idx, elems, want_virial,
 # oracle-parity clarity, but a trailing dim of 3 tile-pads to 128 lanes on
 # TPU (42x memory/bandwidth waste -- the repo-wide layout rule). The fast
 # path re-lays every per-pair and per-atom quantity as separate component
-# planes: dx as three [C, K] planes, mu as three [N] columns, lambda as six
-# [N] columns (symmetric), and the 12 per-atom fields the reference MPI
-# round-trips between its two GPU phases (rho, mu, lambda, d2, q2;
-# src/pair_anna_adp_gpu.cpp:135-158) packed into one [N, 16] row-gather
-# table. Same formulas, same frozen-(d2,q2) force definition -- only the
-# data layout changes (f64 parity ~1e-12 vs the reference-shaped path).
+# planes: dx as three [N, K] planes gathered ONCE per eval (the x8-packed
+# row gather, ops.pallas_annp.pair_dx_planes), mu as three [N] columns,
+# lambda as six [N] columns (symmetric), and the 12 per-atom fields the
+# reference MPI round-trips between its two GPU phases (rho, mu, lambda,
+# d2, q2; src/pair_anna_adp_gpu.cpp:135-158) packed into one [N, 16]
+# row-gather table.
+#
+# Phase 1 (descriptors) rides the fe harmonic power-spectrum Pallas kernel
+# (ops.pallas_annp._run_g_harm): ANNA's Chebyshev descriptors are the
+# identical raw sums (pair_anna_adp.cpp:653-680), and ANNA needs VALUES
+# only (forces freeze d2/q2), so the angular G reconstructs from the S_l
+# power sums by one [ntsf, ntsf] matmul -- O(K L^2) per atom instead of
+# the O(K^2 ntsf) cos-matrix chunk (measured 20x on the v5e).
+# Same formulas, same frozen-(d2,q2) force definition -- only the data
+# layout changes (f64 parity ~1e-12 vs the reference-shaped path).
 # ---------------------------------------------------------------------------
 
 
-def _pair_dx_planes(xc, xpad, idx, box, pbc):
-    """3 x [C, K] displacement planes + squared distance (component layout)."""
-    dx = []
-    rsq = jnp.zeros(idx.shape, xc[0].dtype)
-    for d in range(3):
-        dd = xc[d][:, None] - xpad[d][idx]
-        if pbc[d]:
-            dd = dd - box[d] * jnp.round(dd / box[d])
-        dx.append(dd)
-        rsq = rsq + dd * dd
-    return dx, rsq
-
-
-def _pair_force_planes(gp, rc, fields, dxx, dxy, dxz, r, stpf, dstpf):
+def _pair_force_planes(gp, fields, dxx, dxy, dxz, r, stpf, dstpf, rsh):
     """`_center_pair_force` on component planes: force contribution
     g(fields_of_center, x_ct) for x_ct = (dxx, dxy, dxz). `fields` is a
-    dict of broadcast-compatible planes (center: [C, 1]; neighbor: [C, K]).
-    Returns (gx, gy, gz) planes."""
-    A0, yy, gamma, C0 = gp[0], gp[1], gp[2], gp[3]
-    c1F, c2F, V0, b1, b2 = gp[4], gp[5], gp[6], gp[7], gp[8]
-    delta, r0, r1, hc = gp[9], gp[10], gp[11], gp[12]
+    dict of broadcast-compatible planes (center: [C, 1]; neighbor: [C, K]);
+    `rsh` carries the r-only terms shared between the self- and
+    neighbor-centered calls (drho, rep via _force_r_shared)."""
+    c1F, c2F = gp[4], gp[5]
     d1, q1, d3, q3 = gp[13], gp[14], gp[15], gp[16]
 
-    z = r - r0
-    ez = jnp.exp(-gamma * z)
-    zyy = A0 * z ** yy
-    gazyy = zyy * gamma
-    drho = (ez * (1.0 + ez) * (zyy * (dstpf + stpf * yy / z) - gazyy)
-            + C0 * dstpf - gazyy * ez * ez)
     rho_c = fields["rho"]
     rho_s = jnp.where(rho_c > 1e-30, rho_c, 1.0)
-    dembed = (0.5 * c1F / jnp.sqrt(rho_s) + 2.0 * c2F * rho_c) * drho
-
-    repc = V0 / (b2 - b1)
-    zr = r / r1
-    zb1 = zr ** b1
-    zb2 = zr ** b2
-    rep1 = repc * (b2 / zb1 - b1 / zb2) + delta
-    drep = dstpf * rep1 + stpf * repc * (b2 * b1 / r1 / zr
-                                         * (-1.0 / zb1 + 1.0 / zb2))
+    dembed = (0.5 * c1F / jnp.sqrt(rho_s) + 2.0 * c2F * rho_c) * rsh["drho"]
 
     d2_c, q2_c = fields["d2"], fields["q2"]
     ut = d1 * jnp.exp(-d2_c * r)
@@ -442,33 +423,55 @@ def _pair_force_planes(gp, rc, fields, dxx, dxy, dxz, r, stpf, dstpf):
 
     lxx, lyy, lzz = fields["lxx"], fields["lyy"], fields["lzz"]
     lxy, lxz, lyz = fields["lxy"], fields["lxz"], fields["lyz"]
-    lam_xx = lxx * dxx + lxy * dxy + lxz * dxz     # (lam . dx) components
-    lam_xy = lxy * dxx + lyy * dxy + lyz * dxz
-    lam_xz = lxz * dxx + lyz * dxy + lzz * dxz
-    lamq = dxx * lam_xx + dxy * lam_xy + dxz * lam_xz
+    lam_x = lxx * dxx + lxy * dxy + lxz * dxz     # (lam . dx) components
+    lam_y = lxy * dxx + lyy * dxy + lyz * dxz
+    lam_z = lxz * dxx + lyz * dxy + lzz * dxz
+    lamq = dxx * lam_x + dxy * lam_y + dxz * lam_z
     mux, muy, muz = fields["mux"], fields["muy"], fields["muz"]
     mu_x = mux * dxx + muy * dxy + muz * dxz
     f_v = -(lxx + lyy + lzz) / 3.0
 
-    dterm1 = 0.5 * drep + dembed + dau * mu_x + daw * lamq
+    dterm1 = rsh["drep_half"] + dembed + dau * mu_x + daw * lamq
     s = dterm1 / r + f_v * (daw * r + aw)
-    return (s * dxx + aw * lam_xx + au * mux,
-            s * dxy + aw * lam_xy + au * muy,
-            s * dxz + aw * lam_xz + au * muz)
+    return (s * dxx + aw * lam_x + au * mux,
+            s * dxy + aw * lam_y + au * muy,
+            s * dxz + aw * lam_z + au * muz)
 
 
-def _fields_chunk(cfg, gp, xc, xpad, idx, box, lp_c):
-    """Per-atom fields + energy for one row chunk, component layout.
+def _force_r_shared(gp, r, stpf, dstpf):
+    """Per-pair terms of the analytic force that depend on r ONLY --
+    computed once and shared by the i- and j-centered contributions
+    (halves the transcendental count of the newton-off force)."""
+    A0, yy, gamma = gp[0], gp[1], gp[2]
+    C0, V0, b1, b2 = gp[3], gp[6], gp[7], gp[8]
+    delta, r0, r1 = gp[9], gp[10], gp[11]
+    z = r - r0
+    ez = jnp.exp(-gamma * z)
+    zyy = A0 * z ** yy
+    gazyy = zyy * gamma
+    drho = (ez * (1.0 + ez) * (zyy * (dstpf + stpf * yy / z) - gazyy)
+            + C0 * dstpf - gazyy * ez * ez)
+    repc = V0 / (b2 - b1)
+    zr = r / r1
+    zb1 = zr ** b1
+    zb2 = zr ** b2
+    rep1 = repc * (b2 / zb1 - b1 / zb2) + delta
+    drep = dstpf * rep1 + stpf * repc * (b2 * b1 / r1 / zr
+                                         * (-1.0 / zb1 + 1.0 / zb2))
+    return {"drho": drho, "drep_half": 0.5 * drep}
 
-    Returns (e_at [C], field planes dict of [C])."""
+
+def _fields_from_planes(cfg, gp, dxx, dxy, dxz, lp_c):
+    """Per-atom fields + energy from displacement planes [C, K].
+
+    Returns (e_at [C] excluding e_base, field stack [C, 12])."""
     A0, yy, gamma, C0 = gp[0], gp[1], gp[2], gp[3]
     c1F, c2F, V0, b1, b2 = gp[4], gp[5], gp[6], gp[7], gp[8]
     delta, r0, r1, hc = gp[9], gp[10], gp[11], gp[12]
     d1, q1, d3, q3 = gp[13], gp[14], gp[15], gp[16]
     rc = cfg.cut
-    n = xpad[0].shape[0] - 1
-    dx, rsq = _pair_dx_planes(xc, xpad, idx, box, cfg.pbc)
-    m = (idx < n) & (rsq < rc * rc) & (rsq > 1.0e-12)
+    rsq = dxx * dxx + dxy * dxy + dxz * dxz
+    m = (rsq < rc * rc) & (rsq > 1.0e-12)       # plane fillers sit far out
     r = jnp.sqrt(jnp.where(m, rsq, 1.0))
     stx = (r - rc) / hc
     st4 = stx ** 4
@@ -478,15 +481,15 @@ def _fields_chunk(cfg, gp, xc, xpad, idx, box, lp_c):
     u = step * (d1 * jnp.exp(-d2 * r) + d3)
     w = step * (q1 * jnp.exp(-q2 * r) + q3)
     f = {"d2": d2[:, 0], "q2": q2[:, 0]}
-    f["mux"] = jnp.sum(u * dx[0], axis=1)
-    f["muy"] = jnp.sum(u * dx[1], axis=1)
-    f["muz"] = jnp.sum(u * dx[2], axis=1)
-    f["lxx"] = jnp.sum(w * dx[0] * dx[0], axis=1)
-    f["lyy"] = jnp.sum(w * dx[1] * dx[1], axis=1)
-    f["lzz"] = jnp.sum(w * dx[2] * dx[2], axis=1)
-    f["lxy"] = jnp.sum(w * dx[0] * dx[1], axis=1)
-    f["lxz"] = jnp.sum(w * dx[0] * dx[2], axis=1)
-    f["lyz"] = jnp.sum(w * dx[1] * dx[2], axis=1)
+    f["mux"] = jnp.sum(u * dxx, axis=1)
+    f["muy"] = jnp.sum(u * dxy, axis=1)
+    f["muz"] = jnp.sum(u * dxz, axis=1)
+    f["lxx"] = jnp.sum(w * dxx * dxx, axis=1)
+    f["lyy"] = jnp.sum(w * dxy * dxy, axis=1)
+    f["lzz"] = jnp.sum(w * dxz * dxz, axis=1)
+    f["lxy"] = jnp.sum(w * dxx * dxy, axis=1)
+    f["lxz"] = jnp.sum(w * dxx * dxz, axis=1)
+    f["lyz"] = jnp.sum(w * dxy * dxz, axis=1)
 
     z = r - r0
     ez = jnp.exp(-gamma * z)
@@ -505,45 +508,45 @@ def _fields_chunk(cfg, gp, xc, xpad, idx, box, lp_c):
     lamsq = (f["lxx"] ** 2 + f["lyy"] ** 2 + f["lzz"] ** 2
              + 2.0 * (f["lxy"] ** 2 + f["lxz"] ** 2 + f["lyz"] ** 2))
     e_at = 0.5 * repul + embed + 0.5 * musq + 0.5 * lamsq - nu * nu / 6.0
-    return e_at, f
+    return e_at, jnp.stack([f[k] for k in _FIELD_ORDER], axis=1)
 
 
 _FIELD_ORDER = ("rho", "mux", "muy", "muz", "lxx", "lyy", "lzz",
                 "lxy", "lxz", "lyz", "d2", "q2")
 
 
-def _force_chunk(cfg, gp, xc, xpad, idx, box, ftab, own, eps=None,
-                 eps_mask=None):
-    """Newton-off pair forces for one row chunk: both i- and j-centered
-    contributions gathered (k_anna_adp's formulation, lal_anna_adp.cu:
-    642-804). ftab [N+1, 16] packs _FIELD_ORDER; own: dict of this chunk's
-    center field columns [C]. Returns (fx, fy, fz [C], virial [3, 3])."""
+def _force_from_planes(cfg, gp, dxx, dxy, dxz, idx, ftab, own, want_virial):
+    """Newton-off pair forces for one row chunk from displacement planes:
+    both i- and j-centered contributions gathered (k_anna_adp's
+    formulation, lal_anna_adp.cu:642-804), r-only terms computed once.
+    ftab [N+1, 16] packs _FIELD_ORDER; own [C, 12] this chunk's center
+    fields. Returns (fx, fy, fz [C], virial [3, 3])."""
     rc = cfg.cut
     hc = gp[12]
-    n = xpad[0].shape[0] - 1
-    dx, rsq = _pair_dx_planes(xc, xpad, idx, box, cfg.pbc)
-    if eps is not None:
-        dx = [dx[a] + (eps_mask[:, None] if eps_mask is not None else 1.0)
-              * sum(dx[b] * eps[b, a] for b in range(3)) for a in range(3)]
-        rsq = dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2]
+    n = ftab.shape[0] - 1
+    rsq = dxx * dxx + dxy * dxy + dxz * dxz
     m = (idx < n) & (rsq < rc * rc) & (rsq > 1.0e-12)
-    mf = m.astype(xc[0].dtype)
+    mf = m.astype(dxx.dtype)
     r = jnp.sqrt(jnp.where(m, rsq, 1.0))
     stx = (r - rc) / hc
     t1 = 1.0 + stx ** 4
     stpf = stx ** 4 / t1
     dstpf = 4.0 * stx ** 3 / (t1 * t1) / hc
+    rsh = _force_r_shared(gp, r, stpf, dstpf)
 
     fj16 = ftab[jnp.minimum(idx, n)]                     # [C, K, 16]
     nbr = {k: fj16[:, :, c] for c, k in enumerate(_FIELD_ORDER)}
-    ctr = {k: own[k][:, None] for k in _FIELD_ORDER}
-    g_self = _pair_force_planes(gp, rc, ctr, dx[0], dx[1], dx[2], r,
-                                stpf, dstpf)
-    g_nbr = _pair_force_planes(gp, rc, nbr, -dx[0], -dx[1], -dx[2], r,
-                               stpf, dstpf)
+    ctr = {k: own[:, c][:, None] for c, k in enumerate(_FIELD_ORDER)}
+    g_self = _pair_force_planes(gp, ctr, dxx, dxy, dxz, r, stpf, dstpf,
+                                rsh)
+    g_nbr = _pair_force_planes(gp, nbr, -dxx, -dxy, -dxz, r, stpf, dstpf,
+                               rsh)
     fp = [(gn - gs) * mf for gn, gs in zip(g_nbr, g_self)]
     f = [jnp.sum(c, axis=1) for c in fp]
-    wv = jnp.asarray([[0.5 * jnp.sum(dx[a] * fp[b] * mf) for b in range(3)]
+    if not want_virial:
+        return f[0], f[1], f[2], jnp.zeros((3, 3), dxx.dtype)
+    dx = (dxx, dxy, dxz)
+    wv = jnp.asarray([[0.5 * jnp.sum(dx[a] * fp[b]) for b in range(3)]
                       for a in range(3)])
     return f[0], f[1], f[2], wv
 
@@ -561,20 +564,26 @@ def make_anna_fast_fns(cfg: AnnaConfig, params, k_short=64, delta=0.3,
                        chunk=2048):
     """Production force/short-build trio for the TPU-layout ANNA path.
 
-    Per eval: (1) raw Chebyshev G via the shared [C, K]-plane chunk
-    (models.annp.chunk_g_cheb -- ANNA's descriptors are the identical raw
-    sums), MLP -> (d2, q2); (2) per-atom fields rho/mu/lambda + atom
-    energies; (3) newton-off pair forces with partner fields fetched
-    through one packed [N, 16] row gather -- the in-graph equivalent of
-    the reference's 12 forward_comm ghost fields. Returns
-    (force_fn, force_fn_light, short_build) for
+    Per eval: (1) one x8-packed displacement gather -> [N, K] planes;
+    raw Chebyshev G via the fe harmonic Pallas kernel + S_l -> G matmul,
+    tiny MLP values-only -> (d2, q2); (2) per-atom fields rho/mu/lambda +
+    atom energies from the same planes; (3) newton-off pair forces with
+    partner fields fetched through one packed [N, 16] row gather -- the
+    in-graph equivalent of the reference's 12 forward_comm ghost fields.
+    Returns (force_fn, force_fn_light, short_build) for
     Simulator(..., short_build=..., force_fn_light=...) with
     cfg.short_every > 0, cfg.short_skin == delta."""
-    from .annp import chunk_g_cheb, compact_neighbor_rows
+    from .annp import compact_neighbor_rows
+    from ..ops.pallas_annp import (_cheb_legendre, _run_g_harm,
+                                   pair_dx_planes)
     gp = params["gp"]
     rc = cfg.cut
+    npsf, ntsf = cfg.npsf, cfg.ntsf
     w1, w2, w3 = (params["w"][l][0] for l in range(3))
     b1_, b2_, b3_ = (params["b"][l][0] for l in range(3))
+    dt = params["gp"].dtype
+    cmat = jnp.asarray(_cheb_legendre(ntsf), dt)
+    cfgk = (("npsf", npsf), ("ntsf", ntsf), ("rc", rc))
 
     def short_build(x, box, nbrs):
         idx_s, ovf = compact_neighbor_rows(x, box, nbrs.idx, rc + delta,
@@ -587,48 +596,46 @@ def make_anna_fast_fns(cfg: AnnaConfig, params, k_short=64, delta=0.3,
         return mlp_apply((w1, w2, w3), (b1_, b2_, b3_), cfg.flagact,
                          cfg.act_style, g)                # [C, 2]
 
-    def _eval(x, box, idx, want_virial, eps=None):
+    def _eval(x, box, idx, want_virial):
         n = x.shape[0]
         k = idx.shape[1]
+        hi = jax.lax.Precision.HIGHEST
+        planes = pair_dx_planes(x, box, idx, cfg.pbc)      # [n8, K] x3
+
+        # phase 1: harmonic-ladder descriptors -> (d2, q2)
+        g_raw, _ = _run_g_harm(planes[0], planes[1], planes[2], cfgk)
+        s_l = g_raw[:n, npsf:npsf + ntsf]
+        f2 = g_raw[:n, npsf + ntsf:npsf + ntsf + 1]
+        g = jnp.concatenate(
+            [g_raw[:n, :npsf],
+             0.5 * (jnp.dot(s_l, cmat.T, precision=hi) - f2)], axis=1)
+        lp = _mlp2(g)
+
         n_pad = -(-n // chunk) * chunk
-        xpad = tuple(jnp.concatenate([x[:, d], jnp.zeros((1,), x.dtype)])
-                     for d in range(3))
+        dxp = [_pad2(p[:n], n_pad, 2.0e4).reshape(-1, chunk, k)
+               for p in planes]
         idx_p = _pad2(idx, n_pad, n).reshape(-1, chunk, k)
-        xc = tuple(_pad2(x[:, d], n_pad, 0.0).reshape(-1, chunk)
-                   for d in range(3))
-        valid = (jnp.arange(n_pad) < n).reshape(-1, chunk)
+        lp_p = _pad2(lp, n_pad, 0.0).reshape(-1, chunk, 2)
 
-        # phase 1+2: (d2, q2), fields, atom energies -- one chunked sweep
-        @jax.checkpoint
-        def p12(args):
-            x0, x1, x2, ic, vc = args
-            g = chunk_g_cheb(cfg.npsf, cfg.ntsf, rc, cfg.pbc, (x0, x1, x2),
-                             xpad, ic, box)
-            lp_c = _mlp2(g)
-            e_at, f = _fields_chunk(cfg, gp, (x0, x1, x2), xpad, ic, box,
-                                    lp_c)
-            e_at = jnp.where(vc, e_at, 0.0)
-            return e_at, jnp.stack([f[kk] for kk in _FIELD_ORDER], axis=1)
+        # phase 2: fields + atom energies from the same planes
+        def p2(args):
+            xx, xy, xz, lpc = args
+            return _fields_from_planes(cfg, gp, xx, xy, xz, lpc)
 
-        e_at, fcols = jax.lax.map(p12, (xc[0], xc[1], xc[2], idx_p, valid))
+        e_at, fcols = jax.lax.map(p2, (dxp[0], dxp[1], dxp[2], lp_p))
         e_at = e_at.reshape(n_pad)[:n]
         fcols = fcols.reshape(n_pad, len(_FIELD_ORDER))
         ftab = jnp.pad(fcols[:n], ((0, 1), (0, 16 - len(_FIELD_ORDER))))
 
         # phase 3: newton-off pair forces from gathered fields
-        owns = {kk: fcols[:, c] for c, kk in enumerate(_FIELD_ORDER)}
-
         def p3(args):
-            x0, x1, x2, ic, oc, lc = args
-            own = {kk: oc[:, c] for c, kk in enumerate(_FIELD_ORDER)}
-            return _force_chunk(cfg, gp, (x0, x1, x2), xpad, ic, box, ftab,
-                                own, eps=eps,
-                                eps_mask=lc.astype(x.dtype)
-                                if eps is not None else None)
+            xx, xy, xz, ic, oc = args
+            return _force_from_planes(cfg, gp, xx, xy, xz, ic, ftab, oc,
+                                      want_virial)
 
         fx, fy, fz, wv = jax.lax.map(
-            p3, (xc[0], xc[1], xc[2], idx_p,
-                 fcols.reshape(-1, chunk, len(_FIELD_ORDER)), valid))
+            p3, (dxp[0], dxp[1], dxp[2], idx_p,
+                 fcols.reshape(-1, chunk, len(_FIELD_ORDER))))
         f = jnp.stack([fx.reshape(n_pad)[:n], fy.reshape(n_pad)[:n],
                        fz.reshape(n_pad)[:n]], axis=1)
         w = None
@@ -636,8 +643,7 @@ def make_anna_fast_fns(cfg: AnnaConfig, params, k_short=64, delta=0.3,
             w = jnp.sum(wv, axis=0)
             w = 0.5 * (w + w.T)
         # shift-free sum (e_base = -4473 eV/atom; e_at excludes it here)
-        e = jnp.sum(e_at)
-        return e, f, w
+        return jnp.sum(e_at), f, w
 
     def _poison(e, f, ovf):
         nan = jnp.asarray(jnp.nan, f.dtype)
@@ -660,6 +666,7 @@ def _pad2(a, rows, fill):
     return jnp.concatenate(
         [a, jnp.full((rows - a.shape[0],) + a.shape[1:], fill, a.dtype)]) \
         if rows != a.shape[0] else a
+
 
 
 def energy_forces_frame(cfg: AnnaConfig, params, xc, x_src, box, idx, off,

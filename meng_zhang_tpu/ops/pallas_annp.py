@@ -573,6 +573,52 @@ class ShortList(NamedTuple):
                                            # bits 12.. round(10*min_miss_r)
 
 
+def pair_dx_planes(x, box, nbr_idx, pbc, row_chunk=4096):
+    """[N_pad, K] displacement components; rows padded to TILE multiple.
+
+    Neighbor coordinates come from row gathers of an [N+1, 8]-packed
+    position table (one 8-float-row gather runs ~8x faster than three
+    scalar gathers of the same slots). The gather's [C, K, 8] output is
+    lane-padded 16x by TPU tiling, so it is produced in row chunks and
+    immediately reduced to the three [C, K] components.
+    """
+    n = x.shape[0]
+    k = nbr_idx.shape[1]
+    n_pad = max(-(-n // TILE) * TILE, nbr_idx.shape[0])
+    idx = nbr_idx
+    if idx.shape[0] != n_pad:
+        idx = jnp.concatenate(
+            [idx, jnp.full((n_pad - idx.shape[0], idx.shape[1]), n,
+                           jnp.int32)])
+    xi_all = x if n_pad == n else jnp.concatenate(
+        [x, jnp.zeros((n_pad - n, 3), x.dtype)])
+    x8 = jnp.pad(x, ((0, 1), (0, 5)))                  # [N+1, 8]
+
+    def block(idx_c, xi_c):
+        xj = x8[jnp.minimum(idx_c, n)]                 # [C, K, 8]
+        valid = idx_c < n
+        out = []
+        for d in range(3):
+            dd = xi_c[:, d][:, None] - xj[:, :, d]
+            if pbc[d]:
+                dd = dd - box[d] * jnp.round(dd / box[d])
+            out.append(jnp.where(valid, dd, 2.0 * box[d] + 10.0))
+        return tuple(out)
+
+    if n_pad <= row_chunk:
+        return list(block(idx, xi_all))
+    c_pad = -(-n_pad // row_chunk) * row_chunk
+    if c_pad != n_pad:
+        idx = jnp.concatenate(
+            [idx, jnp.full((c_pad - n_pad, k), n, jnp.int32)])
+        xi_all = jnp.concatenate(
+            [xi_all, jnp.zeros((c_pad - n_pad, 3), x.dtype)])
+    outs = jax.lax.map(lambda a: block(*a),
+                       (idx.reshape(-1, row_chunk, k),
+                        xi_all.reshape(-1, row_chunk, 3)))
+    return [o.reshape(c_pad, k)[:n_pad] for o in outs]
+
+
 class PairTableOps:
     """Shared machinery for fused pair-table evaluators (PallasAnnp and
     ops.pallas_ni.PallasNi): component-layout displacement gathers, the
@@ -586,49 +632,7 @@ class PairTableOps:
         raise NotImplementedError
 
     def _pair_dx(self, x, box, nbr_idx, row_chunk=4096):
-        """[N_pad, K] displacement components; rows padded to TILE multiple.
-
-        Neighbor coordinates come from row gathers of an [N+1, 8]-packed
-        position table (one 8-float-row gather runs ~8x faster than three
-        scalar gathers of the same slots). The gather's [C, K, 8] output is
-        lane-padded 16x by TPU tiling, so it is produced in row chunks and
-        immediately reduced to the three [C, K] components.
-        """
-        n = x.shape[0]
-        k = nbr_idx.shape[1]
-        n_pad = max(-(-n // TILE) * TILE, nbr_idx.shape[0])
-        idx = nbr_idx
-        if idx.shape[0] != n_pad:
-            idx = jnp.concatenate(
-                [idx, jnp.full((n_pad - idx.shape[0], idx.shape[1]), n,
-                               jnp.int32)])
-        xi_all = x if n_pad == n else jnp.concatenate(
-            [x, jnp.zeros((n_pad - n, 3), x.dtype)])
-        x8 = jnp.pad(x, ((0, 1), (0, 5)))                  # [N+1, 8]
-
-        def block(idx_c, xi_c):
-            xj = x8[jnp.minimum(idx_c, n)]                 # [C, K, 8]
-            valid = idx_c < n
-            out = []
-            for d in range(3):
-                dd = xi_c[:, d][:, None] - xj[:, :, d]
-                if self.pbc[d]:
-                    dd = dd - box[d] * jnp.round(dd / box[d])
-                out.append(jnp.where(valid, dd, 2.0 * box[d] + 10.0))
-            return tuple(out)
-
-        if n_pad <= row_chunk:
-            return list(block(idx, xi_all))
-        c_pad = -(-n_pad // row_chunk) * row_chunk
-        if c_pad != n_pad:
-            idx = jnp.concatenate(
-                [idx, jnp.full((c_pad - n_pad, k), n, jnp.int32)])
-            xi_all = jnp.concatenate(
-                [xi_all, jnp.zeros((c_pad - n_pad, 3), x.dtype)])
-        outs = jax.lax.map(lambda a: block(*a),
-                           (idx.reshape(-1, row_chunk, k),
-                            xi_all.reshape(-1, row_chunk, 3)))
-        return [o.reshape(c_pad, k)[:n_pad] for o in outs]
+        return pair_dx_planes(x, box, nbr_idx, self.pbc, row_chunk)
 
     def _assemble(self, fjx, fjy, fjz, akey, ok, n, ks):
         """F_a = -sum_s Fj[a,s] + sum(partner contributions) via ONE banded

@@ -51,6 +51,8 @@ def main():
                     help="ni force path: fused Pallas kernels "
                          "(ops/pallas_ni.py) or the chunked XLA autodiff "
                          "route (models/annp.py)")
+    ap.add_argument("--skin", type=float, default=None,
+                    help="neighbor skin override (rebuild-cadence sweeps)")
     args = ap.parse_args()
 
     import jax
@@ -142,7 +144,10 @@ def main():
             delta = 0.0
 
     n = len(x_np)
-    log(f"{label}: {n} atoms, box {np.round(box_np, 1)}, rc={rc:.3f}")
+    if args.skin is not None:
+        skin = args.skin
+    log(f"{label}: {n} atoms, box {np.round(box_np, 1)}, rc={rc:.3f}, "
+        f"skin={skin}")
     rlist = rc + skin
     dims = cell_grid_dims(np.asarray(box_np), rlist)
     cfg = MDConfig(dt=0.001, cutoff=rc, skin=skin, capacity=capacity,
