@@ -382,9 +382,11 @@ class Simulator:
         nbrs = nbrs._replace(ref_x=jnp.copy(x))
         short = None
         if self.short_build is not None:
-            short = self.short_build(x, box, nbrs)
+            short = jax.jit(self.short_build)(x, box, nbrs)
             short = short._replace(ref_x=jnp.copy(x))
-        pe, f, w = self._eval_force(x, box, nbrs, short)
+        # jitted: run eagerly, a production-size force pipeline
+        # materializes every chunk temporary at once (OOMs at 2M atoms)
+        pe, f, w = jax.jit(self._eval_force)(x, box, nbrs, short)
         return MDState(
             x=x, v=v, f=f, box=box, pe=pe, virial=w, nbrs=nbrs,
             nhc=I.NHCState.zeros(self.cfg.nhc_len, dtype),

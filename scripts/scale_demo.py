@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--size-scale", type=float, default=1.0,
                     help="2m scene linear scale factor")
+    ap.add_argument("--no-short", action="store_true",
+                    help="disable the refresh-static short-list fast path")
+    ap.add_argument("--short", action="store_true",
+                    help="force the short-list path on the 2m config "
+                         "(needs more HBM than one v5e)")
     args = ap.parse_args()
 
     import jax
@@ -85,8 +90,11 @@ def main():
         ensemble, couple = "nve", (False,) * 3
         # cell_cap 48 covers bcc-Fe bulk (34 atoms per 7.3 A cell) + GB
         # margin; 64 put the [ncell, cc, K] build intermediate at 4 GB and
-        # OOMed the chip. K=176 >= the ~140 bulk neighbors at rlist 7.3.
-        skin, capacity, cell_cap = 0.8, 168, 48
+        # OOMed the chip. skin 0.6 / K=144 (vs 0.8/168): the refresh-static
+        # short path adds ~2.3 GB of persistent ShortList tables, so the
+        # skin list pays for it (bulk neighbors at rlist 7.1 ~ 132)
+        skin, capacity, cell_cap = (0.6, 144, 48) if args.short \
+            else (0.8, 168, 48)
         steps = args.steps or 100
         thermo = 5
         label = f"STGB bcc-Fe {len(x_np):,}-atom NVE 300K (config 5 scene)"
@@ -95,18 +103,42 @@ def main():
     log(f"{label}: {n} atoms, box {np.round(box_np, 1)}")
     pot = read_ann(FE_ANN)
     mcfg, params = make_annp(pot)
-    pk = PallasAnnp(mcfg, params)
+    pk = PallasAnnp(mcfg, params, short_delta=0.3)
     want_virial = ensemble == "npt"     # at 2M atoms the virial tally keeps
                                         # the [N,K] dx planes alive through
                                         # force assembly (~3 GB extra peak)
 
-    def force_fn(xx, bb, nbrs):
+    # refresh-static short list (the bench scene's fast path): the per-step
+    # eval drops the distance repack; refreshed every `short_every` steps
+    # in-scan with the exact short_skin dangerous-build guard. At the 2M
+    # config the persistent ShortList tables (~2.3 GB) on top of the
+    # 256M-element delivery sort exceed the v5e's 16 GB (measured OOM in
+    # the warmup block at skin 0.6/K=144 too), so 2m keeps the per-step
+    # repack pipeline; pass --short to retry on bigger-HBM parts
+    use_short = (not args.no_short) if args.config != "2m" else args.short
+
+    def force_fn_full(xx, bb, nbrs):
         out = pk.energy_forces(xx, bb, nbrs.idx, nbrs.rev,
                                want_virial=want_virial, shift=False)
         if want_virial:
             return out
         e, f = out
         return e, f, jnp.zeros((3, 3), xx.dtype)
+
+    if use_short:
+        def force_fn(xx, bb, nbrs, short):
+            out = pk.energy_forces_short(xx, bb, short,
+                                         want_virial=want_virial,
+                                         shift=False)
+            if want_virial:
+                return out
+            e, f = out
+            return e, f, jnp.zeros((3, 3), xx.dtype)
+
+        def short_build(xx, bb, nbrs):
+            return pk.compact_short(xx, bb, nbrs.idx, nbrs.rev)
+    else:
+        force_fn, short_build = force_fn_full, None
 
     rlist = mcfg.cut + skin
     dims_box = np.asarray(box_np) * (0.95 if ensemble == "npt" else 1.0)
@@ -117,8 +149,11 @@ def main():
                    ensemble=ensemble, t_target=300.0, tau_t=0.1,
                    p_target=(0.0,) * 3, p_couple=couple, tau_p=1.0,
                    thermo_every=thermo, with_rev=True,
-                   stale_factor=0.5)
-    sim = Simulator(force_fn, jnp.full(n, MASS_FE, jnp.float32), cfg)
+                   stale_factor=0.5,
+                   short_every=thermo if use_short else 0,
+                   short_skin=pk.short_delta if use_short else 0.0)
+    sim = Simulator(force_fn, jnp.full(n, MASS_FE, jnp.float32), cfg,
+                    short_build=short_build)
     x = jnp.asarray(x_np, jnp.float32)
     box = jnp.asarray(box_np, jnp.float32)
 
@@ -129,22 +164,30 @@ def main():
         # for exactly this reason). The reference workflow minimizes before
         # dynamics (in.st_test: minimize 1e-6 ...); a short FIRE quench kills
         # the transient so the measured window has zero dangerous builds.
-        from meng_zhang_tpu.md.minimize import fire_minimize
-        t0 = time.time()
-        nbrs = sim.build_nbrs(x, box)
+        min_cache = cache.replace(".npz", "_min.npz")
+        if os.path.exists(min_cache):
+            log(f"loading minimized positions from {min_cache}")
+            x = jnp.asarray(np.load(min_cache)["x"], jnp.float32)
+        else:
+            from meng_zhang_tpu.md.minimize import fire_minimize
+            t0 = time.time()
+            nbrs = sim.build_nbrs(x, box)
 
-        def ef(xx, bb, nbr):
-            return pk.energy_forces(xx, bb, nbr[0], nbr[1], shift=False)
+            def ef(xx, bb, nbr):
+                return pk.energy_forces(xx, bb, nbr[0], nbr[1], shift=False)
 
-        fst = fire_minimize(ef, x, box, (nbrs.idx, nbrs.rev), f_tol=5e-2,
-                            max_iter=100, dt0=5e-4, dt_max=5e-3, block=10)
-        x = fst.x
-        log(f"minimize: {time.time() - t0:.1f}s fmax={float(fst.fmax):.2e}"
-            f" pe={float(fst.pe) + n * mcfg.e_shift:.6e}")
-        # free the minimize-epoch neighbor tables (2.6 GB at 2M atoms)
-        # BEFORE init_state builds its own: holding both plus the eager
-        # first force eval's transients exhausts the chip
-        del fst, nbrs
+            fst = fire_minimize(ef, x, box, (nbrs.idx, nbrs.rev),
+                                f_tol=5e-2, max_iter=100, dt0=5e-4,
+                                dt_max=5e-3, block=10)
+            x = fst.x
+            log(f"minimize: {time.time() - t0:.1f}s "
+                f"fmax={float(fst.fmax):.2e}"
+                f" pe={float(fst.pe) + n * mcfg.e_shift:.6e}")
+            np.savez(min_cache, x=np.asarray(x))
+            # free the minimize-epoch neighbor tables (2.6 GB at 2M atoms)
+            # BEFORE init_state builds its own: holding both plus the eager
+            # first force eval's transients exhausts the chip
+            del fst, nbrs
 
     t0 = time.time()
     st = sim.init_state(x, box, seed=4928459, t_init=300.0)
