@@ -53,7 +53,7 @@ Model adapters:
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -93,6 +93,10 @@ class ShardState(NamedTuple):
                           # overflow, 2 = frame x-extent exceeded,
                           # 4 = halo coverage proof violated (see
                           # OVF_* constants); 0 = healthy
+    plan: Any = None      # layout-owned dynamic exchange plan (None for the
+                          # 1-D slab driver; Plan2D for ShardedMD2D, whose
+                          # send tables are recomputed in-graph at rebuild
+                          # so rows may migrate between devices)
 
 
 # overflow bitmask bits (ShardState.overflow) -- a sticky nonzero value
@@ -103,14 +107,14 @@ OVF_FRAME = 2      # an atom left the static frame x-extent
 OVF_COVERAGE = 4   # the rebuild-time halo coverage proof failed
 
 
-def _state_specs():
+def _state_specs(plan_spec=None):
     sh, rep = P("dp"), P()
     return ShardState(
         x_loc=sh, v_loc=sh, f_loc=sh, gid=sh, halo_l=sh, halo_r=sh,
         idx=sh, rev=sh,
         ref_loc=sh, pe=sh, box=rep, virial=rep,
         nhc=I.NHCState(rep, rep), v_eps=rep, baro_nhc=I.NHCState(rep, rep),
-        step=rep, stale=sh, unsafe=sh, overflow=sh)
+        step=rep, stale=sh, unsafe=sh, overflow=sh, plan=plan_spec)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -869,7 +873,7 @@ class ShardedMD:
 
             return jax.lax.scan(block, st, None, length=n_blocks)
 
-        return jax.jit(self._smap(dev_fn, out_specs=(_state_specs(),
+        return jax.jit(self._smap(dev_fn, out_specs=(self._specs(),
                                                      th_spec)))
 
     def run(self, st: ShardState, n_blocks: int):

@@ -177,14 +177,79 @@ def test_2d_coverage_proof_trips(fe_scene):
     assert bool(jnp.any(st.overflow))
 
 
-def test_2d_rejects_rev_models(fe_scene):
-    """The Pallas reverse-slot model is a 1-D slab path by design."""
-    _, _, _, box, _, _, _ = fe_scene
+def test_2d_pallas_forces_match_single_chip(fe_pot, fe_scene):
+    """The Pallas reverse-slot model (AnnpFrameModel) served from the 2-D
+    driver: the frame neighbor build emits reverse-slot maps, and the
+    sort-involution delivery runs inside each device frame (VERDICT
+    round-3 item 6)."""
+    from meng_zhang_tpu.ops.pallas_annp import PallasAnnp
+    from meng_zhang_tpu.parallel.domain import AnnpFrameModel
+    mcfg, params, x, box, e_ref, f_ref, w_ref = fe_scene
+    n = x.shape[0]
+    pk = PallasAnnp(mcfg, params, k_short=None)
+    cfg = Shard2DConfig(n_devices=4, mesh_shape=(2, 2), c_loc=n // 4,
+                        cutoff=6.5, skin=0.6, dt=0.001, capacity=160)
+    md = ShardedMD2D(AnnpFrameModel(pk), MASS_FE, box, cfg)
+    st, order = md.distribute(x)
+    assert not bool(jnp.any(st.overflow))
+    pe = float(jnp.sum(st.pe))
+    np.testing.assert_allclose(pe, e_ref, rtol=1e-9)
+    f = np.asarray(md.gather_positions(st._replace(x_loc=st.f_loc)))
+    np.testing.assert_allclose(f, f_ref, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(st.virial), w_ref, rtol=1e-7,
+                               atol=1e-9)
 
-    class Rev:
-        with_rev = True
 
-    cfg = Shard2DConfig(n_devices=4, mesh_shape=(2, 2), c_loc=200,
-                        cutoff=6.5, skin=0.6, dt=0.001)
-    with pytest.raises(ValueError):
-        ShardedMD2D(Rev(), MASS_FE, box, cfg)
+def test_2d_md_migration_parity(ni_pot):
+    """Hot 2-D sharded run (fcc-Ni, 1200 K melt leg) with migrate_b: the
+    two-round (x then y) bounded edge-block migration fires in-run, the
+    dynamic send plan replans at every rebuild, and the trajectory stays
+    exactly on the single-chip track (VERDICT round-3 item 6; the 2-D
+    mirror of test_sharded_md_migration_parity).
+
+    Equal-count migration fires on RANK inversions at a boundary, so a
+    boundary must land inside an atom layer. With Dx=2 the x count-median
+    of a perfect fcc lattice always falls in an inter-layer gap (layers
+    per slab = cells_x, an integer); the y-split on a (2, 4) mesh gives
+    6.5 y-layers per block -- boundaries mid-layer, where 1200 K motion
+    genuinely reorders ownership."""
+    from meng_zhang_tpu.models.annp import effective_cutoff
+    mcfg, params = make_annp(ni_pot, dtype=jnp.float64)
+    x_np, box_np = simple_lattice([13, 13, 4], 3.52, FCC_BASIS)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(x_np + rng.normal(scale=0.02, size=x_np.shape))
+    box = jnp.asarray(box_np)
+    n = x.shape[0]
+    cut = effective_cutoff(ni_pot)
+    m_ni = 58.6934
+    v0 = create_velocities(jax.random.PRNGKey(9),
+                           jnp.full(n, m_ni, jnp.float64), 1200.0,
+                           jnp.float64)
+
+    def force_fn(xx, bb, nbrs):
+        return energy_forces_virial_chunked(mcfg, params, xx, bb, nbrs.idx,
+                                            chunk=128, shift=False)
+
+    cfg1 = MDConfig(dt=0.001, cutoff=cut, skin=0.5, capacity=48,
+                    nbr_method="n2", ensemble="nve", thermo_every=4)
+    sim = Simulator(force_fn, jnp.full(n, m_ni, jnp.float64), cfg1)
+    st1 = sim.init_state(x, box, v=v0, seed=1)
+    st1, th1 = sim.run(st1, 12)      # 48 steps at 1200 K
+
+    scfg = Shard2DConfig(n_devices=8, mesh_shape=(2, 4), c_loc=n // 8,
+                         capacity=48, cutoff=cut, skin=0.5, dt=0.001,
+                         thermo_every=4, migrate_b=16)
+    md = ShardedMD2D(XlaFrameModel(mcfg, params, chunk=128), m_ni, box,
+                     scfg)
+    stn, order = md.distribute(x, v0)
+    stn, thn = md.run(stn, 12)
+    assert md.rebuild_count >= 1
+    assert md.migrated >= 1, "1200 K run must produce boundary rank swaps"
+    assert not bool(jnp.any(stn.overflow))
+    np.testing.assert_allclose(np.asarray(thn.pe), np.asarray(th1.pe),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(thn.temp), np.asarray(th1.temp),
+                               rtol=1e-7)
+    # ownership stayed a permutation through every migrate
+    g = np.sort(np.asarray(stn.gid).reshape(-1))
+    np.testing.assert_array_equal(g, np.arange(n))
