@@ -151,7 +151,11 @@ def main():
     rlist = rc + skin
     dims = cell_grid_dims(np.asarray(box_np), rlist)
     cfg = MDConfig(dt=0.001, cutoff=rc, skin=skin, capacity=capacity,
-                   nbr_method="cell", cell_dims=dims, cell_capacity=48,
+                   # ni's 4.4 A cells hold ~8 atoms; cc=24 keeps 3x headroom
+                   # and cuts the [ncell, cc, K] build intermediate 2x
+                   # (measured 2.2x faster rebuild on the v5e)
+                   nbr_method="cell", cell_dims=dims,
+                   cell_capacity=24 if args.model == "ni" else 48,
                    ensemble=ensemble, t_target=t_target, tau_t=0.1,
                    thermo_every=thermo, stale_factor=0.5,
                    short_every=thermo if short_build else 0,

@@ -36,6 +36,50 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _noise_floor():
+    """How precisely CAN a 100-step windowed pressure agree between two
+    independent trajectories of this scene? Quantified from the reference
+    log itself: the in-window instantaneous std is 300-700 bar
+    post-transient, so two decorrelated NPT trajectories differ in
+    window-averaged P by hundreds of bar even with identical physics --
+    the reference's own old-vs-new logs agree to 7 digits only because
+    they follow the SAME trajectory step-for-step. Together with the
+    step-0 static check (f64 |dP| ~ 10 bar: the pressure MATH is right;
+    f32 adds ~41 bar), this pins the golden-log windowed |dP| <= 282 bar
+    as trajectory decorrelation, not a pressure error."""
+    z = zipfile.ZipFile(ZIP)
+    name = [n for n in z.namelist()
+            if n.endswith("log_relaxing_new.lammps")][0]
+    rows, on, hdr = [], False, None
+    for ln in z.read(name).decode("utf8", "replace").splitlines():
+        t = ln.split()
+        if len(t) >= 5 and t[0] == "Step":
+            on, hdr = True, t
+            continue
+        if on:
+            try:
+                rows.append([float(v) for v in t[:len(hdr)]])
+            except ValueError:
+                on = False
+    rows = np.array([r for r in rows if len(r) == len(hdr)])
+    steps = rows[:, hdr.index("Step")]
+    press = rows[:, hdr.index("Press")]
+    sel = steps <= 1000
+    steps, press = steps[sel], press[sel]
+    wstd = []
+    for w0 in range(200, 1000, 100):       # skip the violent transient
+        m = (steps > w0) & (steps <= w0 + 100)
+        wstd.append(float(press[m].std()))
+    return {
+        "ref_window_P_std_bar": [round(v, 1) for v in wstd],
+        "ref_instantaneous_P_std_bar": round(
+            float(press[steps > 200].std()), 1),
+        "note": "in-window sigma(P) of the reference trajectory itself; "
+                "windowed |dP| between decorrelated trajectories of this "
+                "scene is bounded below by this scale",
+    }
+
+
 def main():
     # x64 mode breaks Mosaic lowering of the f32 Pallas kernels (i64 consts
     # leak into the kernel), so each precision runs in its own subprocess
@@ -53,6 +97,7 @@ def main():
             merged.update(json.loads(r.stdout.strip().splitlines()[-1]))
         merged["f32_vs_f64_dP_bar"] = (merged["f32"]["press_bar"]
                                        - merged["f64"]["press_bar"])
+        merged["trajectory_noise_floor"] = _noise_floor()
         os.makedirs(ART, exist_ok=True)
         with open(os.path.join(ART, "press_check.json"), "w") as fh:
             json.dump(merged, fh, indent=1)

@@ -1,17 +1,19 @@
 #!/usr/bin/env python3
 """Per-phase TPU profile of the ni (Behler-Parrinello) production path.
 
-The fe profile (scripts/profile_bench.py) is the template; this measures
-where the ni step goes so optimization lands on the top item. Phases:
+Profiles the fused transposed-block Pallas route (ops/pallas_ni.py, the
+model_bench --model ni default since round 4). Phases:
 
-  compact     compact_neighbor_rows (per-STEP in the current ni path --
-              the fe path amortizes its short repack over an epoch)
-  forward     energy_chunked on the short rows (no grad)
-  ef          energy_forces_chunked (autodiff forces, no virial)
-  efv         energy_forces_virial_chunked (strained autodiff, the
-              production force_fn)
+  rebuild     cell-list build at rc + skin
+  compact     PallasNi.compact_short (refresh-static ShortList, banded)
+  gather      pair_dx_planes on the short rows
+  g_kernel    _run_ni_g (forward G2/G4, [Ks, 128] blocks)
+  mlp         XLA tiny-MLP forward + hand VJP
+  f_kernel    _run_ni_force (hand-VJP per-pair forces)
+  assemble    sort-involution delivery
+  ef          energy_forces_short (no virial -- the light step)
+  efv         energy_forces_short + pairwise virial (thermo step)
   step_block  one thermo block (thermo_every steps) in the jitted runner
-  rebuild     cell build
 
 Run on the TPU: python scripts/profile_ni.py [--cells 40]
 Writes artifacts/profile_ni.json.
@@ -56,7 +58,6 @@ def timeit(fn, *args, reps=6, warmup=2):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cells", type=int, default=40)
-    ap.add_argument("--chunk", type=int, default=1024)
     ap.add_argument("--k-short", type=int, default=32)
     args = ap.parse_args()
 
@@ -70,11 +71,10 @@ def main():
     from meng_zhang_tpu.geometry.lattice import fcc
     from meng_zhang_tpu.io.potential import read_ann
     from meng_zhang_tpu.md.simulation import MDConfig, Simulator
-    from meng_zhang_tpu.models.annp import (compact_neighbor_rows,
-                                            effective_cutoff, energy_chunked,
-                                            energy_forces_chunked,
-                                            energy_forces_virial_chunked,
-                                            make_annp)
+    from meng_zhang_tpu.models.annp import effective_cutoff, make_annp
+    from meng_zhang_tpu.ops.pallas_ni import (PallasNi, _run_ni_g,
+                                              _run_ni_force)
+    from meng_zhang_tpu.ops.pallas_annp import pair_dx_planes
     from meng_zhang_tpu.system.neighbors import (build_neighbors_cell,
                                                  cell_grid_dims)
     from meng_zhang_tpu.units import MASS_NI
@@ -86,53 +86,80 @@ def main():
     rng = np.random.default_rng(0)
     x_np = x_np + rng.normal(scale=0.05, size=x_np.shape)
     n = len(x_np)
-    skin, capacity, k_short, chunk = 0.5, 64, args.k_short, args.chunk
+    skin, capacity, k_short = 0.5, 64, args.k_short
+    delta = 0.2
     rlist = rc + skin
     dims = cell_grid_dims(np.asarray(box_np), rlist)
     log(f"scene: {n} atoms fcc-Ni, rc={rc:.3f} rlist={rlist:.2f} "
-        f"K={capacity} Ks={k_short} chunk={chunk}")
+        f"K={capacity} Ks={k_short}")
 
     x = jnp.asarray(x_np, jnp.float32)
     box = jnp.asarray(box_np, jnp.float32)
+    pk = PallasNi(mcfg, params, k_short=k_short, short_delta=delta)
 
     t = {}
     build = jax.jit(lambda xx, bb: build_neighbors_cell(
-        xx, bb, rlist, capacity, dims, 48))
+        xx, bb, rlist, capacity, dims, 24, with_rev=True))
     t["rebuild"] = timeit(build, x, box)
     nbrs = build(x, box)
     assert not bool(nbrs.overflow)
 
-    comp = jax.jit(lambda xx, bb, idx: compact_neighbor_rows(
-        xx, bb, idx, rc, k_short))
-    t["compact"] = timeit(comp, x, box, nbrs.idx)
-    idx_s, ovf = comp(x, box, nbrs.idx)
-    assert not bool(ovf)
+    comp = jax.jit(lambda xx, bb, idx, rev: pk.compact_short(xx, bb, idx,
+                                                             rev))
+    t["compact"] = timeit(comp, x, box, nbrs.idx, nbrs.rev)
+    sl = comp(x, box, nbrs.idx, nbrs.rev)
+    assert not bool(sl.overflow)
 
-    fwd = jax.jit(lambda xx, bb, idx: energy_chunked(
-        mcfg, params, xx, bb, idx, chunk=chunk, shift=False))
-    t["forward"] = timeit(fwd, x, box, idx_s)
+    gath = jax.jit(lambda xx, bb, idx: pair_dx_planes(xx, bb, idx,
+                                                      pk.pbc))
+    t["gather"] = timeit(gath, x, box, sl.sidx)
+    dxx, dxy, dxz = gath(x, box, sl.sidx)
+    p = -(-dxx.shape[0] // 128) * 128
+    trs = [jnp.transpose(jnp.pad(d, ((0, p - d.shape[0]), (0, 0)),
+                                 constant_values=2e4))
+           for d in (dxx, dxy, dxz)]
+    gk = jax.jit(lambda a, b, c: _run_ni_g(a, b, c, pk.cfgn_key))
+    t["g_kernel"] = timeit(gk, *trs)
+    g_t = gk(*trs)
+    mlpf = jax.jit(lambda gt: pk._mlp_eat_dedg(jnp.transpose(gt)))
+    t["mlp"] = timeit(mlpf, g_t)
+    _, dedg = mlpf(g_t)
+    dedg_t = jnp.transpose(dedg)
+    fk = jax.jit(lambda a, b, c, d: _run_ni_force(a, b, c, d, pk.cfgn_key))
+    t["f_kernel"] = timeit(fk, trs[0], trs[1], trs[2], dedg_t)
+    fj_t = fk(trs[0], trs[1], trs[2], dedg_t)
+    fjs = [jnp.transpose(f)[:dxx.shape[0]] for f in fj_t]
+    asm = jax.jit(lambda a, b, c, k, o: pk._assemble(a, b, c, k, o, n,
+                                                     k_short))
+    t["assemble"] = timeit(asm, fjs[0], fjs[1], fjs[2], sl.akey, sl.ok)
 
-    ef = jax.jit(lambda xx, bb, idx: energy_forces_chunked(
-        mcfg, params, xx, bb, idx, chunk=chunk, shift=False))
-    t["ef"] = timeit(ef, x, box, idx_s)
+    ef = jax.jit(lambda xx, bb: pk.energy_forces_short(xx, bb, sl,
+                                                       shift=False))
+    t["ef"] = timeit(ef, x, box)
+    efv = jax.jit(lambda xx, bb: pk.energy_forces_short(
+        xx, bb, sl, want_virial=True, shift=False))
+    t["efv"] = timeit(efv, x, box)
 
-    efv = jax.jit(lambda xx, bb, idx: energy_forces_virial_chunked(
-        mcfg, params, xx, bb, idx, chunk=chunk, shift=False))
-    t["efv"] = timeit(efv, x, box, idx_s)
+    # full production step block (model_bench wiring)
+    def force_fn(xx, bb, nbr, short):
+        return pk.energy_forces_short(xx, bb, short, want_virial=True,
+                                      shift=False)
 
-    # full production step block
-    def force_fn(xx, bb, nb):
-        i_s, o = compact_neighbor_rows(xx, bb, nb.idx, rc, k_short)
-        e, f, w = energy_forces_virial_chunked(
-            mcfg, params, xx, bb, i_s, chunk=chunk, shift=False)
-        return jnp.where(o, jnp.nan, e), f, w
+    def force_fn_light(xx, bb, nbr, short):
+        e, f = pk.energy_forces_short(xx, bb, short, shift=False)
+        return e, f, jnp.zeros((3, 3), xx.dtype)
+
+    def short_build(xx, bb, nbr):
+        return pk.compact_short(xx, bb, nbr.idx, nbr.rev)
 
     thermo = 5
     cfg = MDConfig(dt=0.001, cutoff=rc, skin=skin, capacity=capacity,
-                   nbr_method="cell", cell_dims=dims, cell_capacity=48,
+                   nbr_method="cell", cell_dims=dims, cell_capacity=24,
                    ensemble="nvt", t_target=1200.0, tau_t=0.1,
-                   thermo_every=thermo, stale_factor=0.5)
-    sim = Simulator(force_fn, jnp.full(n, MASS_NI, jnp.float32), cfg)
+                   thermo_every=thermo, stale_factor=0.5,
+                   short_every=thermo, short_skin=delta, with_rev=True)
+    sim = Simulator(force_fn, jnp.full(n, MASS_NI, jnp.float32), cfg,
+                    short_build=short_build, force_fn_light=force_fn_light)
     st = sim.init_state(x, box, seed=1, t_init=600.0)
     st, th = sim.run(st, 2)
     float(th.temp[-1])
@@ -146,7 +173,7 @@ def main():
 
     out = {
         "scene": f"fcc-Ni {n} atoms, rc={rc:.3f}, K={capacity}, "
-                 f"Ks={k_short}, chunk={chunk}",
+                 f"Ks={k_short}, fused Pallas (ops/pallas_ni)",
         "times_s": {k: round(v, 6) for k, v in t.items()},
         "share_of_step": {k: round(v / step, 4) for k, v in t.items()},
         "atom_steps_per_s_step": round(n / step, 1),
