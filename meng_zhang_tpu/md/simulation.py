@@ -108,6 +108,21 @@ class MDConfig:
                                     # step programs would run both)
 
 
+def npt_drift_vcoef(v_eps, couple, dt):
+    """Velocity coefficient of the exact MTK barostat drift, per axis [3].
+
+    The drift ODE xdot = v_eps x + v integrates exactly to
+        x' = x e^{dt v_eps} + dt v e^{y} sinh(y)/y,  y = dt v_eps / 2,
+    (Tuckerman MTK; LAMMPS fix_nh evaluates the same sinh(y)/y factor by
+    its even Taylor polynomial). In a production run |y| ~ 1e-7, so the
+    series 1 + y^2/6 (1 + y^2/20 (1 + y^2/42)) is exact to machine
+    precision for any |y| < 0.3 -- far beyond a stable barostat."""
+    y = jnp.where(couple > 0, 0.5 * dt * v_eps, 0.0)
+    y2 = y * y
+    sinhx_x = 1.0 + y2 / 6.0 * (1.0 + y2 / 20.0 * (1.0 + y2 / 42.0))
+    return (dt * jnp.exp(y) * sinhx_x)[None, :]
+
+
 def create_velocities(key, masses, t_target, dtype=jnp.float32):
     """Maxwell-Boltzmann draw with drift removal and exact-T rescale
     (LAMMPS `velocity all create T seed mom yes`)."""
@@ -345,9 +360,8 @@ class Simulator:
         c = self.cfg
         couple = jnp.asarray(c.p_couple, dtype=x.dtype)
         ex = jnp.where(couple > 0, jnp.exp(dt * v_eps), 1.0)
-        # x' = x*e^{dt*veps} + dt*v*sinh-like polynomial; first order in veps
         box_new = box * ex
-        x_new = x * ex[None, :] + dt * v
+        x_new = x * ex[None, :] + npt_drift_vcoef(v_eps, couple, dt) * v
         return x_new, box_new
 
     # ---------- state init ----------

@@ -744,7 +744,8 @@ class PallasAnnp(PairTableOps):
     a 4x FLOP cut on the dominant work. None disables the repack."""
 
     def __init__(self, cfg, params, k_short=128, angular="harmonic",
-                 short_delta=0.3, coloring: Optional[ColoringSpec] = None):
+                 short_delta=0.3, coloring: Optional[ColoringSpec] = None,
+                 res_delta=0.25):
         self.k_short = k_short
         # symmetric pair-lane coloring tables (ops/pair_coloring) enabling
         # the column-sorted delivery; None keeps the banded flat sort
@@ -756,6 +757,18 @@ class PallasAnnp(PairTableOps):
         # entries within rc + short_delta are kept, so the list stays valid
         # while no atom moves more than short_delta/2 since compaction
         self.short_delta = short_delta
+        # colored-path residual-lane skin: non-palette pairs beyond
+        # rc + res_delta are DROPPED at compaction instead of occupying a
+        # scarce residual lane (such pairs carry exactly zero force -- fc
+        # vanishes at rc -- and can only matter if both atoms drift
+        # res_delta/2 toward each other within the epoch, which the guard /
+        # exact-unsafe check bounds honestly). At 300 K the thermal
+        # 5th-shell population inside rc + 0.4 peaked at 16 pairs/row
+        # against 15 spare lanes (BENCH_r04 res_ovf fallbacks); inside
+        # rc + 0.25 the max is ~a third of that -- wide margin, no
+        # fallbacks. Palette pairs keep the full short_delta skin (their
+        # lanes are reserved either way).
+        self.res_delta = min(res_delta, short_delta)
         # memory-lean assembly threshold (elements); production crosses it
         # only above ~1.3M atoms, so tests/test_pallas_annp.py sets it to 0
         # to exercise the per-component-sort branch at small sizes
@@ -1100,12 +1113,27 @@ class PallasAnnp(PairTableOps):
         site_j = jnp.stack([jnp.round(xj[:, :, d] / h[d]).astype(jnp.int32)
                             for d in range(3)], axis=-1)     # [C, K, 3]
         col, kind = pair_colors(spec, site_i, site_j, q)
-        # every non-palette pair is residual: the pair-id residual delivery
-        # is class-agnostic (any pair-symmetric set routes exactly), so
-        # 5th-shell AND off-table pairs (defects, strained surface regions
-        # where sites misround) ride the spare lanes -- nothing is dropped
-        real1 = mask & (kind == 1)                    # palette-colored
-        real2 = mask & (kind != 1)                    # residual
+        # ambiguous-round demotion: a pair whose dx/h fractional residual
+        # approaches 1/2 on any axis sits at a rounding boundary -- the 5
+        # sigma thermal tail where q (and with it the palette color) can
+        # misround and collide with a correctly-rounded same-color pair
+        # (the BENCH_r04 `dup` fallbacks). Demote such pairs to the
+        # residual lanes: the pair-id residual delivery is class-agnostic
+        # (any pair-symmetric set routes exactly), and |frac| is
+        # pair-symmetric because dx negates exactly between the two rows.
+        amb = jnp.zeros(idx_c.shape, bool)
+        for d in range(3):
+            fr = dd[d] / h[d] - q[:, :, d].astype(dd[d].dtype)
+            amb = amb | (jnp.abs(fr) > 0.4)
+        # residual lanes take every remaining in-range pair -- 5th shell,
+        # off-table (defects, strained surfaces), demoted-ambiguous -- but
+        # only within rc + res_delta: beyond that a non-palette pair has
+        # zero force and is dropped, guarded by res_delta/2 of drift (see
+        # __init__). Pairs inside the cutoff are never dropped.
+        rc_res = rc + self.res_delta
+        real1 = mask & (kind == 1) & ~amb             # palette-colored
+        real2 = mask & ((kind != 1) | amb) \
+            & (rsq < rc_res * rc_res)                 # residual
 
         rows_g = i0 + jax.lax.broadcasted_iota(jnp.int32, (c_rows, k), 0)
         pj = jnp.minimum(idx_c, n).astype(jnp.int32)
@@ -1207,9 +1235,13 @@ class PallasAnnp(PairTableOps):
             badbits = (jnp.any(outs[5] & 1 != 0).astype(jnp.int32)
                        | 2 * jnp.any(outs[5] & 2 != 0).astype(jnp.int32))
             max_rc = jnp.max(outs[6])
-        # nothing is dropped, so the dropped-pair drift guard is simply the
-        # short-list cap (kept for the driver's threshold formula)
-        guard = jnp.asarray(0.5 * self.short_delta, x.dtype)
+        # every dropped pair sits beyond rc + res_delta (palette pairs are
+        # never dropped; in-cutoff pairs always land a lane), so a drift
+        # under res_delta/2 per atom provably cannot carry one into the
+        # cutoff -- the driver folds this guard into its exact
+        # dangerous-build displacement check
+        guard = jnp.asarray(0.5 * min(self.res_delta, self.short_delta),
+                            x.dtype)
         # diag: bit 0 = duplicate palette color, bit 1 = residual-lane
         # overflow; bits 3.. = max residual count per row
         diag = (badbits | (max_rc << 3)).astype(jnp.int32)

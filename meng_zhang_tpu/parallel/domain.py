@@ -61,7 +61,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..md import integrate as I
-from ..md.simulation import Thermo
+from ..md.simulation import Thermo, npt_drift_vcoef
 from ..system.neighbors import (build_neighbors_cell, build_neighbors_n2,
                                 cell_grid_dims, reverse_slots)
 from ..units import BOLTZ, MVV2E, NKTV2P
@@ -801,7 +801,7 @@ class ShardedMD:
             couple = jnp.asarray(cfg.p_couple, dtype=dtype)
             ex = jnp.where(couple > 0, jnp.exp(dt * v_eps), 1.0)
             box = box * ex
-            x = x * ex[None, :] + dt * v
+            x = x * ex[None, :] + npt_drift_vcoef(v_eps, couple, dt) * v
         else:
             x = x + dt * v
 

@@ -326,12 +326,12 @@ def test_short_rows_overflow_poisons(ni_pot):
     assert not np.all(np.isfinite(np.asarray(f)))
 
 
-def test_thin_box_image_nve_parity(fe_pot):
-    """A 1-cell-thick periodic box (every dim < 2*rlist) run in image mode
-    (models.annp.image_shift_table + energy_forces_virial_images) matches
-    the explicitly replicated scene's trajectory -- the TPU equivalent of
-    LAMMPS' ghost-image handling for thin boxes (VERDICT round-3 item 8).
-    """
+@pytest.fixture(scope="module")
+def thin_box_pair(fe_pot):
+    """Image-mode simulator + explicitly replicated reference simulator for
+    a 1-cell-thick fully periodic box (every dim < 2*rlist). Shared by the
+    static-parity test (default run) and the NVE trajectory-parity test
+    (nightly) -- VERDICT round-3 item 8."""
     from meng_zhang_tpu.models.annp import (energy_forces_virial_chunked,
                                             energy_forces_virial_images,
                                             image_shift_table)
@@ -383,16 +383,26 @@ def test_thin_box_image_nve_parity(fe_pot):
     sim2 = Simulator(force_rep, jnp.full(nrep, MASS_FE, jnp.float64), mdc2)
     st2 = sim2.init_state(x_rep, box_rep, v=v_rep)
     assert not bool(st2.overflow)
+    return sim, st, sim2, st2, n, nrep, len(cells)
 
-    # static parity: per-atom energy and forces of the base copy
+
+def test_thin_box_image_static_parity(thin_box_pair):
+    """Image-mode energies/forces/virial match the explicitly replicated
+    scene -- the TPU equivalent of LAMMPS' multi-image ghost handling."""
+    sim, st, sim2, st2, n, nrep, ncells = thin_box_pair
     np.testing.assert_allclose(float(st.pe) / n, float(st2.pe) / nrep,
                                rtol=1e-10)
     np.testing.assert_allclose(np.asarray(st.f), np.asarray(st2.f[:n]),
                                rtol=1e-8, atol=1e-10)
-    np.testing.assert_allclose(np.asarray(st.virial) * len(cells),
+    np.testing.assert_allclose(np.asarray(st.virial) * ncells,
                                np.asarray(st2.virial), rtol=1e-8, atol=1e-8)
 
-    # dynamic parity: 8 NVE steps stay on the replicated track
+
+@pytest.mark.nightly
+def test_thin_box_image_nve_parity(thin_box_pair):
+    """Dynamic parity: 8 image-mode NVE steps stay on the replicated
+    scene's track (the expensive leg; static parity runs by default)."""
+    sim, st, sim2, st2, n, nrep, _ = thin_box_pair
     st, _ = sim.run(st, 4)
     st2, _ = sim2.run(st2, 4)
     np.testing.assert_allclose(np.asarray(st.x), np.asarray(st2.x[:n]),

@@ -366,6 +366,7 @@ def test_migrate_unit(cheap_scene):
     assert not bool(jnp.any(st3.overflow))
 
 
+@pytest.mark.nightly
 def test_sharded_md_migration_parity(ni_pot):
     """Hot sharded run (fcc-Ni at 1200 K -- the config-2 melt leg) with
     migrate_b enabled: boundary migration fires in-run and the trajectory

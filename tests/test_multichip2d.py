@@ -200,6 +200,66 @@ def test_2d_pallas_forces_match_single_chip(fe_pot, fe_scene):
                                atol=1e-9)
 
 
+def test_2d_migrate_unit(fe_scene):
+    """Unit coverage of the two-round (x then y) bounded migration on the
+    2-D mesh, without the 1200 K integration leg (which runs nightly):
+    boundary crossers move to the adjacent device along each axis, payloads
+    transport bit-exactly up to one +-L seam patch shift, gid stays a
+    permutation, and equal per-device counts are preserved."""
+    mcfg, params, x, box, _, _, _ = fe_scene
+    n = x.shape[0]
+    cfg = Shard2DConfig(n_devices=4, mesh_shape=(2, 2), c_loc=n // 4,
+                        cutoff=3.0, skin=0.5, dt=0.001, capacity=64,
+                        migrate_b=8)
+    md = ShardedMD2D(XlaFrameModel(mcfg, params, chunk=128), MASS_FE, box,
+                     cfg)
+    st, order = md.distribute(x)
+    assert not bool(jnp.any(st.overflow))
+
+    # push one atom of device (0,0) across its x-hi rectangle boundary and
+    # one across its y-hi boundary (each beyond the neighbor's edge atom)
+    x_loc = np.asarray(st.x_loc).copy()
+    gids = np.asarray(st.gid)
+    xb = md.xb_frac[1] * float(box[0])
+    yb = md.yb_frac[0, 1] * float(box[1])
+    vic_x = int(np.argmax(x_loc[0, :, 0]))
+    vic_y = int(np.argmax(x_loc[0, :, 1]))
+    assert vic_x != vic_y
+    gx, gy = int(gids[0, vic_x]), int(gids[0, vic_y])
+    x_loc[0, vic_x, 0] = xb + 1.2
+    x_loc[0, vic_y, 1] = yb + 1.2
+    st = st._replace(x_loc=jnp.asarray(x_loc))
+
+    def by_gid(stt):
+        g = np.asarray(stt.gid).reshape(-1)
+        o = np.argsort(g)
+        return (g[o], np.asarray(stt.x_loc).reshape(n, 3)[o],
+                np.asarray(stt.v_loc).reshape(n, 3)[o])
+
+    g0, x0, v0 = by_gid(st)
+    st2 = md.migrate(st)
+    g2, x2, v2 = by_gid(st2)
+    assert md.migrated >= 2
+    np.testing.assert_array_equal(g0, np.arange(n))
+    np.testing.assert_array_equal(g2, np.arange(n))
+    np.testing.assert_array_equal(v2, v0)
+    # transport is bit-exact up to one exact +-L patch shift per axis
+    dx = x2 - x0
+    for d in range(2):
+        shifts = dx[:, d] / float(box[d])
+        assert set(np.unique(shifts)) <= {-1.0, 0.0, 1.0}
+    np.testing.assert_array_equal(dx[:, 2], 0.0)
+    gids2 = np.asarray(st2.gid)
+    assert gx in gids2[2], "x-crosser must now live on device (1, 0)"
+    assert gy in gids2[1], "y-crosser must now live on device (0, 1)"
+    # migrate leaves tables stale by contract; the replanning rebuild and a
+    # force refill must both succeed on the new ownership
+    st3 = md.refill_forces(md.rebuild(st2))
+    assert not bool(jnp.any(st3.overflow))
+    assert np.isfinite(float(jnp.sum(st3.pe)))
+
+
+@pytest.mark.nightly
 def test_2d_md_migration_parity(ni_pot):
     """Hot 2-D sharded run (fcc-Ni, 1200 K melt leg) with migrate_b: the
     two-round (x then y) bounded edge-block migration fires in-run, the

@@ -102,7 +102,7 @@ def test_colored_handles_defect(fe_pot):
     mcfg, params = fe_pot
     x, box, pbc = _scene([8, 8, 8], jitter=0.03)
     # shove one atom far off-lattice, halfway to a neighbor
-    x = x.at[17].add(jnp.asarray([1.05, 0.7, 0.35]))
+    x = x.at[17].add(jnp.asarray([1.05, 0.7, 0.35], x.dtype))
     spec = build_coloring(pbc, np.asarray(box))
     pk = PallasAnnp(mcfg, params, k_short=128, short_delta=0.4, coloring=spec)
     nbrs = build_neighbors_n2(x, box, mcfg.cut + 1.2, 192, with_rev=True,
@@ -116,6 +116,67 @@ def test_colored_handles_defect(fe_pot):
     assert np.isfinite(float(ec))
     np.testing.assert_allclose(np.asarray(fc), np.asarray(fb),
                                atol=3e-4, rtol=0)
+
+
+def test_ambiguous_round_demotes_not_dups(fe_pot):
+    """An atom parked near a half-grid offset (the q-misround boundary that
+    produced the BENCH_r04 `dup` fallbacks) must be demoted to the residual
+    lanes, not tripped as color_bad -- and the delivery must stay exact."""
+    mcfg, params = fe_pot
+    x, box, pbc = _scene([8, 8, 8], jitter=0.02)
+    # h = a/2 = 1.4276; pull atom 40 and its +x second-shell neighbor
+    # (lattice offset (a, 0, 0)) toward each other by 0.32 A each: THEIR
+    # pair lands at |frac(dx/h)| ~ 0.45 on the x axis (the misround
+    # boundary), while each atom's other pairs shift by only ~0.22 -- the
+    # deterministic construction of the thermal two-atom tail event
+    d = x - x[40]
+    d = d - box * jnp.round(d / box)
+    j = int(jnp.argmin(jnp.sum((d - jnp.asarray([A_BCC_FE, 0.0, 0.0],
+                                                x.dtype)) ** 2, axis=1)))
+    x = x.at[40, 0].add(jnp.asarray(0.32, x.dtype))
+    x = x.at[j, 0].add(jnp.asarray(-0.32, x.dtype))
+    spec = build_coloring(pbc, np.asarray(box))
+    pk = PallasAnnp(mcfg, params, k_short=128, short_delta=0.4, coloring=spec)
+    nbrs = build_neighbors_n2(x, box, mcfg.cut + 1.2, 192, with_rev=True,
+                              pbc=pbc)
+    slc = pk.compact_short_colored(x, box, nbrs.idx)
+    assert not bool(slc.color_bad), \
+        f"ambiguous pairs must demote, diag={int(slc.diag)}"
+    slb = pk.compact_short(x, box, nbrs.idx, nbrs.rev)
+    eb, fb = pk.energy_forces_short(x, box, slb)
+    ec, fc = pk.energy_forces_short(x, box, slc)
+    assert np.isfinite(float(ec))
+    np.testing.assert_allclose(np.asarray(fc), np.asarray(fb),
+                               atol=3e-4, rtol=0)
+
+
+def test_residual_trim_guard(fe_pot):
+    """res_delta trims far non-palette pairs (zero-force annulus) and the
+    guard honestly reports the tightened drift bound."""
+    mcfg, params = fe_pot
+    x, box, pbc = _scene([8, 8, 8], jitter=0.06)
+    spec = build_coloring(pbc, np.asarray(box))
+    pk_wide = PallasAnnp(mcfg, params, k_short=128, short_delta=0.4,
+                         coloring=spec, res_delta=0.4)
+    pk_trim = PallasAnnp(mcfg, params, k_short=128, short_delta=0.4,
+                         coloring=spec, res_delta=0.2)
+    nbrs = build_neighbors_n2(x, box, mcfg.cut + 1.2, 192, with_rev=True,
+                              pbc=pbc)
+    sl_w = pk_wide.compact_short_colored(x, box, nbrs.idx)
+    sl_t = pk_trim.compact_short_colored(x, box, nbrs.idx)
+    assert abs(float(sl_w.guard) - 0.2) < 1e-6
+    assert abs(float(sl_t.guard) - 0.1) < 1e-6
+    # trimming strictly reduces the residual population...
+    res_w = int((np.asarray(sl_w.sidx)[:, spec.n_colors:]
+                 < x.shape[0]).sum())
+    res_t = int((np.asarray(sl_t.sidx)[:, spec.n_colors:]
+                 < x.shape[0]).sum())
+    assert res_t < res_w
+    # ...without touching the forces (the annulus carries zero force)
+    _, f_w = pk_wide.energy_forces_short(x, box, sl_w)
+    _, f_t = pk_trim.energy_forces_short(x, box, sl_t)
+    np.testing.assert_allclose(np.asarray(f_t), np.asarray(f_w),
+                               atol=1e-5, rtol=0)
 
 
 def test_badperm_poisons(fe_pot):
