@@ -548,7 +548,8 @@ class ShortList(NamedTuple):
     """
     sidx: jax.Array      # [P, Ks] partner index, n for filler lanes
     akey: Optional[jax.Array]  # [P, Ks] banded delivery key (banded mode)
-    ok: jax.Array        # [P, Ks] entry was within rc+delta at compaction
+    ok: Optional[jax.Array]    # None -- validity is sidx < n (the field
+                               # survives for pytree compatibility)
     ref_x: jax.Array     # [N, 3] positions at compaction (staleness check)
     overflow: jax.Array  # bool: some row had > Ks entries within rc+delta
     skey: Optional[jax.Array] = None   # [P, Ks] colored delivery key:
@@ -634,7 +635,7 @@ class PairTableOps:
     def _pair_dx(self, x, box, nbr_idx, row_chunk=4096):
         return pair_dx_planes(x, box, nbr_idx, self.pbc, row_chunk)
 
-    def _assemble(self, fjx, fjy, fjz, akey, ok, n, ks):
+    def _assemble(self, fjx, fjy, fjz, akey, n, ks):
         """F_a = -sum_s Fj[a,s] + sum(partner contributions) via ONE banded
         sort (see _pair_dx_repacked for the key construction)."""
         p = fjx.shape[0]
@@ -688,18 +689,75 @@ class PairTableOps:
         sidx = jnp.where(ok, jnp.minimum(j_c, n), n)
         return sidx, akey, ok, jnp.any(counts > ks)
 
-    def compact_short(self, x, box, nbr_idx, rev_slots, row_chunk=8192):
+    def _compact_block_norev(self, x8, n, k, box, rc_s, idx_c, xi_c):
+        """Rev-free row compaction: distance-test the skin rows and pack the
+        hits ascending by partner id with one row sort. No reverse-slot
+        input -- the delivery key is built globally afterwards (see
+        compact_short)."""
+        ks = self.k_short
+        xj = x8[jnp.minimum(idx_c, n)]                 # [C, K, 8]
+        valid = idx_c < n
+        rsq = jnp.zeros(idx_c.shape, x8.dtype)
+        for d in range(3):
+            c = xi_c[:, d][:, None] - xj[:, :, d]
+            if self.pbc[d]:
+                c = c - box[d] * jnp.round(c / box[d])
+            c = jnp.where(valid, c, 2.0 * box[d] + 10.0)
+            rsq = rsq + c * c
+        mask = valid & (rsq < rc_s * rc_s) & (rsq > 1.0e-12)
+        counts = jnp.sum(mask.astype(jnp.int32), axis=1)
+        key = jnp.where(mask, jnp.minimum(idx_c, n), n + 1)
+        sidx = jnp.minimum(jnp.sort(key, axis=1)[:, :ks], n)
+        return sidx, jnp.any(counts > ks)
+
+    def _akey_from_sidx(self, sidx, n):
+        """Banded delivery keys from the partner-sorted short rows alone.
+
+        The kept set is pair-symmetric (the rc + delta test is exact-f32
+        symmetric) and every row stores its partners ascending by id, so
+        receiver row j's lane t holds its t-th smallest partner. Two global
+        sorts recover each entry's destination slot without any reverse-
+        slot map: sort-1 orders all entries by (dest row, sender id) --
+        landing each real entry exactly at its receiver's lane, fillers of
+        row j keyed (j, n + lane) behind every sender -- and sort-2 inverts
+        that permutation back to source order. The band-structure invariant
+        (sorted dest rows == each row exactly Ks times) is checked for free
+        and reported as overflow: an asymmetric or overflowing compaction
+        can never deliver silently wrong sums.
+
+        Replaces the reverse_slots build entirely for this path -- the
+        O(N K^2) rev gather was the dominant rebuild cost at 2M atoms.
+        """
+        p, ks = sidx.shape
+        ok = sidx < n
+        rows = jax.lax.broadcasted_iota(jnp.int32, (p, ks), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (p, ks), 1)
+        key1 = jnp.where(ok, sidx, rows).reshape(-1)
+        key2 = jnp.where(ok, rows, n + lane).reshape(-1)
+        src = jnp.arange(p * ks, dtype=jnp.int32)
+        k1s, _, perm = jax.lax.sort((key1, key2, src), num_keys=2)
+        bad_band = jnp.any(k1s != src // ks)
+        _, akey_flat = jax.lax.sort((perm, src), num_keys=1)
+        return akey_flat.reshape(p, ks), bad_band
+
+    def compact_short(self, x, box, nbr_idx, rev_slots=None, row_chunk=8192):
         """Build the refresh-static ShortList from the skin list.
 
-        Each skin row is compacted to its entries within rc + short_delta
-        (stable slot order, same banded delivery-key construction as
-        _pair_dx_repacked, so one flat sort still delivers every pair
-        contribution). The list stays valid while no atom has moved more
+        Each skin row is compacted to its entries within rc + short_delta.
+        The list stays valid while no atom has moved more
         than short_delta/2 since this call: a pair outside rc + delta needs
         two half-delta moves to enter rc, and entries that drift past rc
         merely evaluate to fc = 0. Callers refresh on that displacement
         criterion (md/simulation.py runs it on a fixed in-scan cadence with
         an exact per-step unsafe check).
+
+        With rev_slots the delivery keys come from the original-slot
+        banding (stable slot order, same construction as
+        _pair_dx_repacked); without, rows pack ascending by partner id and
+        the keys come from the two-sort inversion (_akey_from_sidx) -- the
+        skin list then never needs reverse-slot maps at all (drop
+        with_rev: at 2M atoms that removes the [N, K] rev table AND the
+        O(N K^2) reverse_slots pass from every rebuild).
 
         TPU equivalent of running k_annp_short_nbor (fe/lib/lal_annp.cu:
         267-344) once per neighbor-list epoch instead of once per step.
@@ -710,27 +768,43 @@ class PairTableOps:
         rc_s = self.short_rc + self.short_delta
         n_pad = -(-n // TILE) * TILE
         c_pad = -(-n_pad // row_chunk) * row_chunk
+        ks = self.k_short
 
         idx = _padr(nbr_idx, c_pad, n)
-        rev = _padr(rev_slots, c_pad, k)
         xi_all = _padr(x, c_pad, 0.0)
         x8 = jnp.pad(x, ((0, 1), (0, 5)))
-        block = functools.partial(self._compact_block, x8, n, k, box, rc_s)
 
+        if rev_slots is None:
+            block = functools.partial(self._compact_block_norev, x8, n, k,
+                                      box, rc_s)
+            if c_pad <= row_chunk:
+                sidx, ovf = block(idx, xi_all)
+                sidx = sidx[:n_pad]
+            else:
+                nb = c_pad // row_chunk
+                outs = jax.lax.map(
+                    lambda a: block(*a),
+                    (idx.reshape(nb, row_chunk, k),
+                     xi_all.reshape(nb, row_chunk, 3)))
+                sidx = outs[0].reshape(c_pad, ks)[:n_pad]
+                ovf = jnp.any(outs[1])
+            akey, bad_band = self._akey_from_sidx(sidx, n)
+            return ShortList(sidx, akey, None, x, ovf | bad_band)
+
+        rev = _padr(rev_slots, c_pad, k)
+        block = functools.partial(self._compact_block, x8, n, k, box, rc_s)
         if c_pad <= row_chunk:
             sidx, akey, ok, ovf = block(idx, rev, xi_all,
                                         jnp.asarray(0, jnp.int32))
-            return ShortList(sidx[:n_pad], akey[:n_pad], ok[:n_pad], x, ovf)
+            return ShortList(sidx[:n_pad], akey[:n_pad], None, x, ovf)
         nb = c_pad // row_chunk
         outs = jax.lax.map(
             lambda a: block(*a),
             (idx.reshape(nb, row_chunk, k), rev.reshape(nb, row_chunk, k),
              xi_all.reshape(nb, row_chunk, 3),
              jnp.arange(nb, dtype=jnp.int32) * row_chunk))
-        ks = self.k_short
         sidx, akey = (o.reshape(c_pad, ks)[:n_pad] for o in outs[:2])
-        ok = outs[2].reshape(c_pad, ks)[:n_pad]
-        return ShortList(sidx, akey, ok, x, jnp.any(outs[3]))
+        return ShortList(sidx, akey, None, x, jnp.any(outs[3]))
 
 
 class PallasAnnp(PairTableOps):
@@ -1246,7 +1320,7 @@ class PallasAnnp(PairTableOps):
         # overflow; bits 3.. = max residual count per row
         diag = (badbits | (max_rc << 3)).astype(jnp.int32)
         color_bad = diag & 7 != 0
-        return ShortList(sidx, None, ok, x, jnp.asarray(False),
+        return ShortList(sidx, None, None, x, jnp.asarray(False),
                          skey=skey, guard=guard, color_bad=color_bad,
                          res_dest=res_dest, res_k2=res_k2, diag=diag)
 
@@ -1298,13 +1372,12 @@ class PallasAnnp(PairTableOps):
         row_chunk = min(row_chunk, p)
         c_pad = -(-p // row_chunk) * row_chunk
         sidx = _padr(sl.sidx, c_pad, n)
-        ok = _padr(sl.ok, c_pad, False)
         x8 = jnp.pad(x, ((0, 1), (0, 5)))
         xi_all = _padr(x, c_pad, 0.0)
         nb = c_pad // row_chunk
 
         def block(args):
-            idx_c, ok_c, xi_c = args
+            idx_c, xi_c = args
             xj = x8[jnp.minimum(idx_c, n)]
             valid = idx_c < n
             dd = []
@@ -1316,7 +1389,7 @@ class PallasAnnp(PairTableOps):
             eat, (fjx, fjy, fjz) = self._eval_fj(*dd)
             outs = [eat, fjx, fjy, fjz]
             if want_virial:
-                m = ok_c.astype(x.dtype)
+                m = valid.astype(x.dtype)
                 outs.append(jnp.asarray(
                     [[-jnp.sum(da * fb * m) for fb in (fjx, fjy, fjz)]
                      for da in dd]))
@@ -1324,7 +1397,6 @@ class PallasAnnp(PairTableOps):
 
         outs = jax.lax.map(
             block, (sidx.reshape(nb, row_chunk, ks),
-                    ok.reshape(nb, row_chunk, ks),
                     xi_all.reshape(nb, row_chunk, 3)))
         eat = outs[0].reshape(c_pad)[:p]
         fjx, fjy, fjz = (o.reshape(c_pad, ks)[:p] for o in outs[1:4])
@@ -1350,7 +1422,7 @@ class PallasAnnp(PairTableOps):
             eat, (fjx, fjy, fjz) = self._eval_fj(dxx, dxy, dxz)
             w = None
             if want_virial:
-                m = sl.ok.astype(x.dtype)
+                m = (sl.sidx < n).astype(x.dtype)
                 w = jnp.asarray(
                     [[-jnp.sum(da * fb * m) for fb in (fjx, fjy, fjz)]
                      for da in (dxx, dxy, dxz)])
@@ -1359,7 +1431,7 @@ class PallasAnnp(PairTableOps):
             forces, badperm = self._assemble_colored(fjx, fjy, fjz, sl, n)
             bad = sl.overflow | badperm | sl.color_bad
         else:
-            forces = self._assemble(fjx, fjy, fjz, sl.akey, sl.ok, n, ks)
+            forces = self._assemble(fjx, fjy, fjz, sl.akey, n, ks)
             bad = sl.overflow
         e_shift = dict(self.cfg_key)["e_shift"]
         e = jnp.sum(eat[:n] - e_shift)
@@ -1391,7 +1463,7 @@ class PallasAnnp(PairTableOps):
             # fused chunked pipeline: nothing [N, AB_PAD]-sized ever exists
             eat, fjx, fjy, fjz, akey, ok, overflow, w = self._eval_pipeline(
                 x, box, nbr_idx, rev_slots, want_virial)
-            forces = self._assemble(fjx, fjy, fjz, akey, ok, n, self.k_short)
+            forces = self._assemble(fjx, fjy, fjz, akey, n, self.k_short)
             e_shift = dict(self.cfg_key)["e_shift"]
             e = jnp.sum(eat[:n] - e_shift)
             if shift:
@@ -1425,7 +1497,7 @@ class PallasAnnp(PairTableOps):
             ks = k
         p = dxx.shape[0]
         eat, (fjx, fjy, fjz) = self._eval_fj(dxx, dxy, dxz)
-        forces = self._assemble(fjx, fjy, fjz, akey, ok, n, ks)
+        forces = self._assemble(fjx, fjy, fjz, akey, n, ks)
         # shift-free summation: |e_shift| ~ 4.5e3 eV/atom would swamp f32.
         # shift=False returns the shift-free sum itself (resolution ~1e-2 eV
         # at 152k atoms vs the ~64 eV f32 ULP of the shifted total); callers

@@ -382,12 +382,12 @@ class PallasNi(PairTableOps):
         eat, (fjx, fjy, fjz) = self._eval_fj(dxx, dxy, dxz)
         w = None
         if want_virial:
-            m = sl.ok.astype(x.dtype)
+            m = (sl.sidx < n).astype(x.dtype)
             w = jnp.asarray(
                 [[-jnp.sum(da * fb * m) for fb in (fjx, fjy, fjz)]
                  for da in (dxx, dxy, dxz)])
             w = 0.5 * (w + w.T)
-        forces = self._assemble(fjx, fjy, fjz, sl.akey, sl.ok, n, ks)
+        forces = self._assemble(fjx, fjy, fjz, sl.akey, n, ks)
         e = jnp.sum(eat[:n] - self.e_shift)
         if shift:
             e = e + n * self.e_shift

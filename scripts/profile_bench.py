@@ -126,7 +126,8 @@ def main():
     gat = jax.jit(lambda xx, bb, ss: pk._pair_dx(xx, bb, ss))
     t, (dxx, dxy, dxz) = timeit(gat, x, box, sl.sidx)
     res["gather"] = t
-    akey, ok = sl.akey, sl.ok
+    akey = sl.akey
+    ok = sl.sidx < n
     log(f"gather (short dx): {t * 1e3:.1f} ms")
 
     g = jax.jit(lambda a, b, c: P._run_g_harm(a, b, c, pk.cfg_key))
@@ -145,9 +146,9 @@ def main():
     res["f_kernel"] = t
     log(f"f_kernel: {t * 1e3:.1f} ms")
 
-    asm = jax.jit(lambda fjx, fjy, fjz, ak, okk: pk._assemble(
-        fjx, fjy, fjz, ak, okk, n, pk.k_short))
-    t, _ = timeit(asm, *fj, akey, ok)
+    asm = jax.jit(lambda fjx, fjy, fjz, ak: pk._assemble(
+        fjx, fjy, fjz, ak, n, pk.k_short))
+    t, _ = timeit(asm, *fj, akey)
     res["assemble"] = t
     log(f"assemble (banded): {t * 1e3:.1f} ms")
 

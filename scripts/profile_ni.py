@@ -129,9 +129,9 @@ def main():
     t["f_kernel"] = timeit(fk, trs[0], trs[1], trs[2], dedg_t)
     fj_t = fk(trs[0], trs[1], trs[2], dedg_t)
     fjs = [jnp.transpose(f)[:dxx.shape[0]] for f in fj_t]
-    asm = jax.jit(lambda a, b, c, k, o: pk._assemble(a, b, c, k, o, n,
+    asm = jax.jit(lambda a, b, c, k: pk._assemble(a, b, c, k, n,
                                                      k_short))
-    t["assemble"] = timeit(asm, fjs[0], fjs[1], fjs[2], sl.akey, sl.ok)
+    t["assemble"] = timeit(asm, fjs[0], fjs[1], fjs[2], sl.akey)
 
     ef = jax.jit(lambda xx, bb: pk.energy_forces_short(xx, bb, sl,
                                                        shift=False))

@@ -38,10 +38,11 @@ def main():
     ap.add_argument("--size-scale", type=float, default=1.0,
                     help="2m scene linear scale factor")
     ap.add_argument("--no-short", action="store_true",
-                    help="disable the refresh-static short-list fast path")
+                    help="disable the refresh-static short-list fast path "
+                         "(2m then runs the per-step repack pipeline)")
     ap.add_argument("--short", action="store_true",
-                    help="force the short-list path on the 2m config "
-                         "(needs more HBM than one v5e)")
+                    help="deprecated no-op: the short path is the default "
+                         "on every config since the rev-free compaction")
     args = ap.parse_args()
 
     import jax
@@ -90,13 +91,13 @@ def main():
         ensemble, couple = "nve", (False,) * 3
         # cell_cap 48 covers bcc-Fe bulk (34 atoms per 7.3 A cell) + GB
         # margin; 64 put the [ncell, cc, K] build intermediate at 4 GB and
-        # OOMed the chip. skin 0.6 / K=144 (vs 0.8/168): the refresh-static
-        # short path adds ~2.3 GB of persistent ShortList tables, so the
-        # skin list pays for it (bulk neighbors at rlist 7.1 ~ 132)
-        skin, capacity, cell_cap = (0.6, 144, 48) if args.short \
-            else (0.8, 168, 48)
+        # OOMed the chip. The rev-free short path (compact_short without
+        # reverse slots) drops the [N, K] rev table AND the O(N K^2)
+        # reverse_slots pass from every rebuild, which is what lets the
+        # refresh-static ShortList fit 16 GB at 2M atoms
+        skin, capacity, cell_cap = 0.8, 168, 48
         steps = args.steps or 100
-        thermo = 5
+        thermo = 10
         label = f"STGB bcc-Fe {len(x_np):,}-atom NVE 300K (config 5 scene)"
 
     n = len(x_np)
@@ -110,12 +111,13 @@ def main():
 
     # refresh-static short list (the bench scene's fast path): the per-step
     # eval drops the distance repack; refreshed every `short_every` steps
-    # in-scan with the exact short_skin dangerous-build guard. At the 2M
-    # config the persistent ShortList tables (~2.3 GB) on top of the
-    # 256M-element delivery sort exceed the v5e's 16 GB (measured OOM in
-    # the warmup block at skin 0.6/K=144 too), so 2m keeps the per-step
-    # repack pipeline; pass --short to retry on bigger-HBM parts
-    use_short = (not args.no_short) if args.config != "2m" else args.short
+    # in-scan with the exact short_skin dangerous-build guard. The 2m
+    # config runs it REV-FREE (compact_short without reverse slots, the
+    # two-sort delivery-key inversion): with_rev=False removes the [N, K]
+    # rev table and the reverse_slots pass from every rebuild -- round 4's
+    # OOM margin -- so the short path now serves the north-star scale too.
+    use_short = not args.no_short
+    rev_free = args.config == "2m"
 
     def force_fn_full(xx, bb, nbrs):
         out = pk.energy_forces(xx, bb, nbrs.idx, nbrs.rev,
@@ -136,7 +138,8 @@ def main():
             return e, f, jnp.zeros((3, 3), xx.dtype)
 
         def short_build(xx, bb, nbrs):
-            return pk.compact_short(xx, bb, nbrs.idx, nbrs.rev)
+            return pk.compact_short(xx, bb, nbrs.idx,
+                                    None if rev_free else nbrs.rev)
     else:
         force_fn, short_build = force_fn_full, None
 
@@ -148,7 +151,7 @@ def main():
                    cell_dims=dims, cell_capacity=cell_cap,
                    ensemble=ensemble, t_target=300.0, tau_t=0.1,
                    p_target=(0.0,) * 3, p_couple=couple, tau_p=1.0,
-                   thermo_every=thermo, with_rev=True,
+                   thermo_every=thermo, with_rev=not rev_free,
                    stale_factor=0.5,
                    short_every=thermo if use_short else 0,
                    short_skin=pk.short_delta if use_short else 0.0)
@@ -174,6 +177,9 @@ def main():
             nbrs = sim.build_nbrs(x, box)
 
             def ef(xx, bb, nbr):
+                if rev_free:     # fresh rev-free compaction per eval
+                    slm = pk.compact_short(xx, bb, nbr[0], None)
+                    return pk.energy_forces_short(xx, bb, slm, shift=False)
                 return pk.energy_forces(xx, bb, nbr[0], nbr[1], shift=False)
 
             fst = fire_minimize(ef, x, box, (nbrs.idx, nbrs.rev),

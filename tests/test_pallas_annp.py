@@ -138,7 +138,7 @@ def test_pipeline_path_parity(fe_pot):
     eat, fjx, fjy, fjz, akey, ok, ovf, w = pk_pipe._eval_pipeline(
         jnp.asarray(x), jnp.asarray(box), nbrs.idx, nbrs.rev, True,
         row_chunk=16)
-    f3 = pk_pipe._assemble(fjx, fjy, fjz, akey, ok, n, 128)
+    f3 = pk_pipe._assemble(fjx, fjy, fjz, akey, n, 128)
     np.testing.assert_allclose(np.asarray(f3), np.asarray(f0),
                                rtol=1e-12, atol=1e-13)
     np.testing.assert_allclose(np.asarray(w), np.asarray(w0),
@@ -239,6 +239,43 @@ def test_static_short_list_pipeline_parity(fe_pot):
                                rtol=1e-12, atol=1e-13)
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w0),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_revfree_short_list_parity(fe_pot):
+    """compact_short WITHOUT reverse slots (the two-sort delivery-key
+    inversion, used at 2M where the O(N K^2) rev build dominates rebuilds)
+    delivers exactly the same physics as the rev-keyed path."""
+    cfg, params = make_annp(fe_pot, dtype=jnp.float64)
+    x, box = perturbed_bcc(n_cells=3)
+    x, box = jnp.asarray(x), jnp.asarray(box)
+    nbrs = build_neighbors_n2(x, box, cfg.cut + 1.2, 256, with_rev=True)
+    pk = PallasAnnp(cfg, params, k_short=160, short_delta=0.3)
+    sl_rev = pk.compact_short(x, box, nbrs.idx, nbrs.rev)
+    sl_nr = pk.compact_short(x, box, nbrs.idx, None)
+    assert not bool(sl_nr.overflow)
+    n = x.shape[0]
+    # same kept pair sets per row (lane order may differ)
+    sr, sn = np.asarray(sl_rev.sidx), np.asarray(sl_nr.sidx)
+    for row in range(0, n, 7):
+        assert (set(sr[row][sr[row] < n].tolist())
+                == set(sn[row][sn[row] < n].tolist()))
+    # the delivery key is a full permutation of the table
+    np.testing.assert_array_equal(np.sort(np.asarray(sl_nr.akey).ravel()),
+                                  np.arange(sl_nr.akey.size))
+    e0, f0, w0 = pk.energy_forces_short(x, box, sl_rev, want_virial=True)
+    e1, f1, w1 = pk.energy_forces_short(x, box, sl_nr, want_virial=True)
+    np.testing.assert_allclose(float(e1), float(e0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w0),
+                               rtol=1e-9, atol=1e-10)
+    # chunked-compaction variant agrees
+    sl_nr2 = pk.compact_short(x, box, nbrs.idx, None, row_chunk=16)
+    np.testing.assert_array_equal(np.asarray(sl_nr2.sidx), sn)
+    # a corrupted (asymmetric) row must trip the band invariant -> poison
+    bad_sidx = sl_nr.sidx.at[3, 0].set(jnp.asarray(n, jnp.int32))
+    akey_bad, bad_band = pk._akey_from_sidx(bad_sidx, n)
+    assert bool(bad_band)
 
 
 def test_static_short_list_overflow_poisons(fe_pot):
