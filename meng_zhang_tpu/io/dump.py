@@ -14,7 +14,13 @@ class DumpWriter:
         self.types = types
         self._fh = open(path, "w")
 
-    def write(self, step: int, x, box, v=None, box_lo=None):
+    def write(self, step: int, x, box, v=None, box_lo=None, extra=None):
+        """extra: optional {column_name: [N] or [N, C] array} of per-atom
+        quantities appended as columns (LAMMPS `dump custom` style, e.g.
+        c_pe from compute pe/atom, c_stress[1..6] from stress/atom --
+        the observables the reference tallies via eatom/vatom,
+        fe/src/pair_annp.cpp:183,197-205). Multi-column arrays expand to
+        name[1]..name[C]."""
         x = np.asarray(x)
         box = np.asarray(box)
         lo = np.zeros(3) if box_lo is None else np.asarray(box_lo)
@@ -25,19 +31,28 @@ class DumpWriter:
         fh.write("ITEM: BOX BOUNDS pp pp pp\n")
         for d in range(3):
             fh.write("%.10g %.10g\n" % (lo[d], lo[d] + box[d]))
-        cols = "id type x y z" + (" vx vy vz" if v is not None else "")
+        ecols, edata = [], []
+        for name, arr in (extra or {}).items():
+            a = np.asarray(arr)
+            if a.ndim == 1:
+                ecols.append(name)
+                edata.append(a)
+            else:
+                for c in range(a.shape[1]):
+                    ecols.append("%s[%d]" % (name, c + 1))
+                    edata.append(a[:, c])
+        cols = "id type x y z" + (" vx vy vz" if v is not None else "") \
+            + ("".join(" " + c for c in ecols))
         fh.write("ITEM: ATOMS %s\n" % cols)
         types = self.types if self.types is not None else np.ones(n, int)
-        if v is None:
-            for i in range(n):
-                fh.write("%d %d %.8g %.8g %.8g\n"
-                         % (i + 1, types[i], x[i, 0], x[i, 1], x[i, 2]))
-        else:
-            v = np.asarray(v)
-            for i in range(n):
-                fh.write("%d %d %.8g %.8g %.8g %.8g %.8g %.8g\n"
-                         % (i + 1, types[i], x[i, 0], x[i, 1], x[i, 2],
-                            v[i, 0], v[i, 1], v[i, 2]))
+        v = None if v is None else np.asarray(v)
+        for i in range(n):
+            row = [x[i, 0], x[i, 1], x[i, 2]]
+            if v is not None:
+                row += [v[i, 0], v[i, 1], v[i, 2]]
+            row += [col[i] for col in edata]
+            fh.write("%d %d %s\n" % (i + 1, types[i],
+                                     " ".join("%.8g" % r for r in row)))
         fh.flush()
 
     def close(self):

@@ -635,9 +635,11 @@ class PairTableOps:
     def _pair_dx(self, x, box, nbr_idx, row_chunk=4096):
         return pair_dx_planes(x, box, nbr_idx, self.pbc, row_chunk)
 
-    def _assemble(self, fjx, fjy, fjz, akey, n, ks):
+    def _assemble(self, fjx, fjy, fjz, akey, n, ks, want_parts=False):
         """F_a = -sum_s Fj[a,s] + sum(partner contributions) via ONE banded
-        sort (see _pair_dx_repacked for the key construction)."""
+        sort (see _pair_dx_repacked for the key construction). With
+        want_parts also returns the delivered per-lane partner values
+        [P, Ks] x3 (the per-atom virial tally needs them per pair)."""
         p = fjx.shape[0]
         if p * ks <= self.assemble_sort_elems:
             _, px, py, pz = jax.lax.sort(
@@ -650,11 +652,15 @@ class PairTableOps:
             px = jax.lax.sort((ak, fjx.reshape(-1)), num_keys=1)[1]
             py = jax.lax.sort((ak, fjy.reshape(-1)), num_keys=1)[1]
             pz = jax.lax.sort((ak, fjz.reshape(-1)), num_keys=1)[1]
-        f = []
+        f, parts = [], []
         for fj, part in zip((fjx, fjy, fjz), (px, py, pz)):
+            pr = part.reshape(p, ks)
             own = -jnp.sum(fj[:n], axis=1)
-            f.append(own + jnp.sum(part.reshape(p, ks)[:n], axis=1))
-        return jnp.stack(f, axis=1)
+            f.append(own + jnp.sum(pr[:n], axis=1))
+            if want_parts:
+                parts.append(pr)
+        fo = jnp.stack(f, axis=1)
+        return (fo, parts) if want_parts else fo
 
     def _compact_block(self, x8, n, k, box, rc_s, idx_c, rev_c, xi_c, i0):
         """One row-chunk of compact_short: distance-test the skin rows at
@@ -1324,7 +1330,7 @@ class PallasAnnp(PairTableOps):
                          skey=skey, guard=guard, color_bad=color_bad,
                          res_dest=res_dest, res_k2=res_k2, diag=diag)
 
-    def _assemble_colored(self, fjx, fjy, fjz, sl, n):
+    def _assemble_colored(self, fjx, fjy, fjz, sl, n, want_parts=False):
         """Column-sorted delivery. Palette lanes [0, nc): pair (i, j)
         occupies lane c in BOTH rows, so within each column the delivery
         keys (partner row; own row for fillers) are a permutation of
@@ -1355,12 +1361,16 @@ class PallasAnnp(PairTableOps):
         badperm = badperm | jnp.any(
             rsorted[0].reshape(p, nres)
             != jax.lax.broadcasted_iota(jnp.int32, (p, nres), 0))
-        f = []
+        f, parts = [], []
         for fj, part, rpart in zip((fjx, fjy, fjz), (px, py, pz),
                                    rsorted[2:]):
+            rp = rpart.reshape(p, nres)
             f.append(-jnp.sum(fj[:n], axis=1) + jnp.sum(part[:n], axis=1)
-                     + jnp.sum(rpart.reshape(p, nres)[:n], axis=1))
-        return jnp.stack(f, axis=1), badperm
+                     + jnp.sum(rp[:n], axis=1))
+            if want_parts:
+                parts.append(jnp.concatenate([part, rp], axis=1))
+        fo = jnp.stack(f, axis=1)
+        return (fo, parts, badperm) if want_parts else (fo, badperm)
 
     def _eval_pipeline_sl(self, x, box, sl, want_virial, row_chunk=65536):
         """Chunked short-path evaluation for multi-million-atom scenes:
@@ -1407,14 +1417,25 @@ class PallasAnnp(PairTableOps):
         return eat, fjx, fjy, fjz, w
 
     def energy_forces_short(self, x, box, sl: ShortList, want_virial=False,
-                            shift=True):
+                            shift=True, per_atom=False):
         """Per-step evaluation against a refresh-static ShortList: one
         position gather + kernels + one delivery sort. See compact_short
         for validity; short-list compaction overflow poisons the outputs
-        (same contract as energy_forces)."""
+        (same contract as energy_forces).
+
+        per_atom: additionally return (eatom [N], vatom [N, 6]) -- the
+        per-atom energies and the +-1/2-per-pair virial tallies in LAMMPS
+        vatom order (xx, yy, zz, xy, xz, yz), the `compute pe/atom` /
+        `stress/atom` observables (reference tally fe/src/pair_annp.cpp:
+        183,197-205; GPU fe/lib/lal_annp.cu:758-775). Per-pair, atom a
+        receives 0.5 dx_a (x) f_pair_on_a with f_pair_on_a = delivered
+        partner value - own Fj; both endpoints tally the identical value.
+        Requires the unfused path (n <= pipeline_rows)."""
         n = x.shape[0]
         ks = sl.sidx.shape[1]
         if n > self.pipeline_rows:
+            assert not per_atom, \
+                "per-atom tallies need the unfused path (n <= pipeline_rows)"
             eat, fjx, fjy, fjz, w = self._eval_pipeline_sl(
                 x, box, sl, want_virial)
         else:
@@ -1428,10 +1449,16 @@ class PallasAnnp(PairTableOps):
                      for da in (dxx, dxy, dxz)])
                 w = 0.5 * (w + w.T)
         if sl.skey is not None:
-            forces, badperm = self._assemble_colored(fjx, fjy, fjz, sl, n)
+            out = self._assemble_colored(fjx, fjy, fjz, sl, n,
+                                         want_parts=per_atom)
+            forces, badperm = out[0], out[-1]
+            parts = out[1] if per_atom else None
             bad = sl.overflow | badperm | sl.color_bad
         else:
-            forces = self._assemble(fjx, fjy, fjz, sl.akey, n, ks)
+            out = self._assemble(fjx, fjy, fjz, sl.akey, n, ks,
+                                 want_parts=per_atom)
+            forces = out[0] if per_atom else out
+            parts = out[1] if per_atom else None
             bad = sl.overflow
         e_shift = dict(self.cfg_key)["e_shift"]
         e = jnp.sum(eat[:n] - e_shift)
@@ -1439,7 +1466,24 @@ class PallasAnnp(PairTableOps):
             e = e + n * e_shift
         e = jnp.where(bad, jnp.nan, e)
         forces = jnp.where(bad, jnp.nan, forces)
-        return (e, forces, w) if want_virial else (e, forces)
+        outs = [e, forces]
+        if want_virial:
+            outs.append(w)
+        if per_atom:
+            m = (sl.sidx[:n] < n).astype(x.dtype)
+            g = [(pr[:n] - fj[:n]) * m
+                 for pr, fj in zip(parts, (fjx, fjy, fjz))]
+            da = (dxx[:n], dxy[:n], dxz[:n])
+            vat = 0.5 * jnp.stack(
+                [jnp.sum(da[0] * g[0], axis=1),
+                 jnp.sum(da[1] * g[1], axis=1),
+                 jnp.sum(da[2] * g[2], axis=1),
+                 jnp.sum(da[0] * g[1], axis=1),
+                 jnp.sum(da[0] * g[2], axis=1),
+                 jnp.sum(da[1] * g[2], axis=1)], axis=1)
+            outs.append(jnp.where(bad, jnp.nan, eat[:n]))
+            outs.append(jnp.where(bad, jnp.nan, vat))
+        return tuple(outs) if len(outs) > 2 else (outs[0], outs[1])
 
     def energy_dedg(self, x, box, nbr_idx):
         n = x.shape[0]

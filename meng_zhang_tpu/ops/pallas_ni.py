@@ -370,9 +370,10 @@ class PallasNi(PairTableOps):
         return eat[:p0], fjs
 
     def energy_forces_short(self, x, box, sl: ShortList, want_virial=False,
-                            shift=True):
+                            shift=True, per_atom=False):
         """Per-step evaluation against a refresh-static ShortList (banded
-        delivery). Same contract as PallasAnnp.energy_forces_short."""
+        delivery). Same contract as PallasAnnp.energy_forces_short,
+        including the per_atom (eatom, vatom[N, 6]) tallies."""
         n = x.shape[0]
         ks = sl.sidx.shape[1]
         dxx, dxy, dxz = self._pair_dx(x, box, sl.sidx)
@@ -387,13 +388,33 @@ class PallasNi(PairTableOps):
                 [[-jnp.sum(da * fb * m) for fb in (fjx, fjy, fjz)]
                  for da in (dxx, dxy, dxz)])
             w = 0.5 * (w + w.T)
-        forces = self._assemble(fjx, fjy, fjz, sl.akey, n, ks)
+        out = self._assemble(fjx, fjy, fjz, sl.akey, n, ks,
+                             want_parts=per_atom)
+        forces = out[0] if per_atom else out
         e = jnp.sum(eat[:n] - self.e_shift)
         if shift:
             e = e + n * self.e_shift
         e = jnp.where(sl.overflow, jnp.nan, e)
         forces = jnp.where(sl.overflow, jnp.nan, forces)
-        return (e, forces, w) if want_virial else (e, forces)
+        outs = [e, forces]
+        if want_virial:
+            outs.append(w)
+        if per_atom:
+            parts = out[1]
+            m = (sl.sidx[:n] < n).astype(x.dtype)
+            g = [(pr[:n] - fj[:n]) * m
+                 for pr, fj in zip(parts, (fjx, fjy, fjz))]
+            da = (dxx[:n], dxy[:n], dxz[:n])
+            vat = 0.5 * jnp.stack(
+                [jnp.sum(da[0] * g[0], axis=1),
+                 jnp.sum(da[1] * g[1], axis=1),
+                 jnp.sum(da[2] * g[2], axis=1),
+                 jnp.sum(da[0] * g[1], axis=1),
+                 jnp.sum(da[0] * g[2], axis=1),
+                 jnp.sum(da[1] * g[2], axis=1)], axis=1)
+            outs.append(jnp.where(sl.overflow, jnp.nan, eat[:n]))
+            outs.append(jnp.where(sl.overflow, jnp.nan, vat))
+        return tuple(outs) if len(outs) > 2 else (outs[0], outs[1])
 
     def energy_forces(self, x, box, nbr_idx, rev_slots, want_virial=False,
                       shift=True):

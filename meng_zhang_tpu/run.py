@@ -66,6 +66,11 @@ def build_parser():
     out = ap.add_argument_group("output")
     out.add_argument("--thermo", type=int, default=10, help="steps per row")
     out.add_argument("--dump", help="write .lammpstrj every thermo interval")
+    out.add_argument("--dump-peratom", action="store_true",
+                     help="add per-atom energy (c_pe) -- and per-atom "
+                          "stress columns (c_stress[1..6], eV, LAMMPS "
+                          "vatom order) on the pallas engine -- to --dump "
+                          "(compute pe/atom + stress/atom)")
     out.add_argument("--checkpoint", help="write final state to .npz")
     out.add_argument("--restart", help="resume from a checkpoint .npz")
     out.add_argument("--profile", action="store_true")
@@ -272,6 +277,28 @@ def main(argv=None):
         from .io.dump import DumpWriter
         dump = DumpWriter(args.dump, types=types)
 
+    peratom_fn = None
+    if args.dump_peratom:
+        if not args.dump:
+            sys.exit("error: --dump-peratom needs --dump")
+        if use_pallas:
+            @jax.jit
+            def peratom_fn(ss):
+                sl = pk.compact_short(ss.x, ss.box, ss.nbrs.idx, None)
+                _, _, eat, vat = pk.energy_forces_short(
+                    ss.x, ss.box, sl, per_atom=True)
+                return {"c_pe": eat, "c_stress": vat}
+        elif model_name == "anna_adp":
+            @jax.jit
+            def peratom_fn(ss):
+                return {"c_pe": anna_adp.atom_energies(
+                    mcfg, params, ss.x, ss.box, ss.nbrs.idx, elems)}
+        else:
+            @jax.jit
+            def peratom_fn(ss):
+                return {"c_pe": annp.atom_energies(
+                    mcfg, params, ss.x, ss.box, ss.nbrs.idx, elems)}
+
     n_blocks = max(1, args.steps // args.thermo)
     print(f"{'Step':>8} {'Temp':>10} {'PotEng':>16} {'KinEng':>12} "
           f"{'Press':>12} {'Volume':>14}")
@@ -284,8 +311,12 @@ def main(argv=None):
         _print_thermo(int(st.step), _last(th), pe_offset)
         if dump:
             with profiling.phase("dump"):
+                extra = None
+                if peratom_fn is not None:
+                    extra = {k: np.asarray(v)
+                             for k, v in peratom_fn(st).items()}
                 dump.write(int(st.step), np.asarray(st.x),
-                           np.asarray(st.box), v=None)
+                           np.asarray(st.box), v=None, extra=extra)
     wall = time.time() - t0
     steps = n_blocks * args.thermo
     log(f"Loop time {wall:.2f} s for {steps} steps with {len(x_np)} atoms "

@@ -141,6 +141,19 @@ def main():
     t, _ = timeit(asm, fjx, fjy, fjz, sl.akey)
     res["assemble"] = t
     log(f"assemble (lean flat sorts): {t:.3f} s")
+    try:
+        # the single 4-operand flat sort: ~2x the transient memory (fits
+        # since the rev/ok tables are gone) but ONE sorting pass -- the
+        # 153k microbench showed payload count barely moves sort cost
+        pk4 = PallasAnnp(mcfg, params, short_delta=0.3)
+        pk4.assemble_sort_elems = 1 << 30
+        asm4 = jax.jit(lambda a, b, c, k: pk4._assemble(a, b, c, k, n,
+                                                        pk4.k_short))
+        t, _ = timeit(asm4, fjx, fjy, fjz, sl.akey)
+        res["assemble_flat4"] = t
+        log(f"assemble (one 4-op flat sort): {t:.3f} s")
+    except Exception as e:
+        log("assemble_flat4 failed:", repr(e))
     del fjx, fjy, fjz, outs, _
 
     ef = jax.jit(lambda xx, bb, ss: pk.energy_forces_short(

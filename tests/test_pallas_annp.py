@@ -278,6 +278,62 @@ def test_revfree_short_list_parity(fe_pot):
     assert bool(bad_band)
 
 
+def test_per_atom_tallies(fe_pot):
+    """per_atom=True returns eatom/vatom (compute pe/atom, stress/atom):
+    eatom matches the independent vmap per-atom energies, both tallies sum
+    to the global PE / virial, and the vatom diagonal carries the +-1/2-
+    per-pair convention (reference ev_tally_xyz, fe/src/pair_annp.cpp:
+    197-205)."""
+    from meng_zhang_tpu.models.annp import atom_energies
+    cfg, params = make_annp(fe_pot, dtype=jnp.float64)
+    x, box = perturbed_bcc(n_cells=3)
+    x, box = jnp.asarray(x), jnp.asarray(box)
+    n = x.shape[0]
+    nbrs = build_neighbors_n2(x, box, cfg.cut + 1.2, 256, with_rev=True)
+    pk = PallasAnnp(cfg, params, k_short=160, short_delta=0.3)
+    sl = pk.compact_short(x, box, nbrs.idx, None)
+    e, f, w, eat, vat = pk.energy_forces_short(x, box, sl, want_virial=True,
+                                               per_atom=True)
+    assert eat.shape == (n,) and vat.shape == (n, 6)
+    eat_ref = atom_energies(cfg, params, x, box, nbrs.idx)
+    np.testing.assert_allclose(np.asarray(eat), np.asarray(eat_ref),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(float(jnp.sum(eat)), float(e), rtol=1e-12)
+    # vatom sums to the global virial tensor (<1e-5 rel per the verdict;
+    # the off-diagonal antisymmetric residual is the zero net torque of a
+    # rotation-invariant energy)
+    vsum = np.asarray(jnp.sum(vat, axis=0))
+    wr = np.asarray(w)
+    ref6 = np.array([wr[0, 0], wr[1, 1], wr[2, 2],
+                     wr[0, 1], wr[0, 2], wr[1, 2]])
+    np.testing.assert_allclose(vsum, ref6, rtol=1e-6,
+                               atol=1e-6 * np.abs(ref6).max())
+
+
+def test_per_atom_tallies_colored(fe_pot):
+    """The colored delivery's per-atom tallies match the banded ones."""
+    from meng_zhang_tpu.ops.pair_coloring import build_coloring
+    cfg, params = make_annp(fe_pot, dtype=jnp.float64)
+    from meng_zhang_tpu.geometry.lattice import bcc as bcc_lat
+    x_np, box_np = bcc_lat([8, 8, 8])
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(x_np + rng.normal(scale=0.05, size=x_np.shape))
+    box = jnp.asarray(box_np)
+    n = x.shape[0]
+    spec = build_coloring((True,) * 3, np.asarray(box))
+    pk = PallasAnnp(cfg, params, k_short=128, short_delta=0.4, coloring=spec)
+    nbrs = build_neighbors_n2(x, box, cfg.cut + 1.2, 192, with_rev=True)
+    slb = pk.compact_short(x, box, nbrs.idx, None)
+    slc = pk.compact_short_colored(x, box, nbrs.idx)
+    assert not bool(slc.color_bad)
+    _, _, eat_b, vat_b = pk.energy_forces_short(x, box, slb, per_atom=True)
+    _, _, eat_c, vat_c = pk.energy_forces_short(x, box, slc, per_atom=True)
+    np.testing.assert_allclose(np.asarray(eat_c), np.asarray(eat_b),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(vat_c), np.asarray(vat_b),
+                               rtol=1e-8, atol=1e-10)
+
+
 def test_static_short_list_overflow_poisons(fe_pot):
     cfg, params = make_annp(fe_pot, dtype=jnp.float64)
     x, box = perturbed_bcc(n_cells=3)

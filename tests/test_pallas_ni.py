@@ -85,6 +85,28 @@ def test_ni_shortlist_epoch_drift(setup):
                                rtol=1e-9, atol=1e-10)
 
 
+def test_ni_per_atom_tallies(setup):
+    """ni per-atom energy/stress tallies: eatom matches the independent
+    per-atom energies and both tallies sum to the global PE / virial."""
+    from meng_zhang_tpu.models.annp import atom_energies
+    cfg, params, x, box, nbrs, pk = setup
+    n = x.shape[0]
+    sl = pk.compact_short(x, box, nbrs.idx, None)
+    assert not bool(sl.overflow)
+    e, f, w, eat, vat = pk.energy_forces_short(x, box, sl, want_virial=True,
+                                               per_atom=True)
+    np.testing.assert_allclose(float(jnp.sum(eat)), float(e), rtol=1e-12)
+    eat_ref = atom_energies(cfg, params, x, box, nbrs.idx)
+    np.testing.assert_allclose(np.asarray(eat), np.asarray(eat_ref),
+                               rtol=1e-8, atol=1e-10)
+    vsum = np.asarray(jnp.sum(vat, axis=0))
+    wr = np.asarray(w)
+    ref6 = np.array([wr[0, 0], wr[1, 1], wr[2, 2],
+                     wr[0, 1], wr[0, 2], wr[1, 2]])
+    np.testing.assert_allclose(vsum, ref6, rtol=1e-6,
+                               atol=1e-6 * max(np.abs(ref6).max(), 1e-30))
+
+
 def test_ni_pallas_f32(ni_pot, setup):
     """TPU dtype: f32 forces within ~2e-3 eV/A of the f64 path."""
     cfg64, params64, x, box, nbrs, pk64 = setup
