@@ -668,6 +668,132 @@ def _pad2(a, rows, fill):
         if rows != a.shape[0] else a
 
 
+def _frame_planes(xc, x_src, box, idx, pbc):
+    """Displacement planes [P8, K] x3 for center rows xc whose neighbors
+    index x_src (the halo frame); rows padded to a multiple of 8 for the
+    harmonic Pallas kernel, fillers parked far out."""
+    cc, k = idx.shape
+    n_src = x_src.shape[0]
+    p = -(-cc // 8) * 8
+    idx_p = _pad2(idx, p, n_src)
+    xc_p = _pad2(xc, p, 0.0)
+    x8 = jnp.pad(x_src, ((0, 1), (0, 5)))
+    xj = x8[jnp.minimum(idx_p, n_src)]
+    valid = idx_p < n_src
+    out = []
+    for d in range(3):
+        dd = xc_p[:, d][:, None] - xj[:, :, d]
+        if pbc[d]:
+            dd = dd - box[d] * jnp.round(dd / box[d])
+        out.append(jnp.where(valid, dd, 2.0 * box[d] + 10.0))
+    return out
+
+
+def energy_forces_frame_fast(cfg: AnnaConfig, params, xc, x_src, box, idx,
+                             off, vslice, want_virial=False, chunk=2048):
+    """Plane-layout (TPU fast path) sharded-frame evaluation -- the
+    make_anna_fast_fns pipeline applied to a halo frame, replacing the
+    [C, K, 3] chunked energy_forces_frame on the sharded drivers:
+    harmonic-Pallas phase-1 descriptors, [*, 16]-packed field gathers, and
+    shared r-only force terms. Same contract as energy_forces_frame
+    (eat [Cc], forces [Cc, 3], virial summed over vslice rows or None);
+    partner fields come from the recomputed center-row table, so rows with
+    any non-center partner (frame-edge rows, discarded by the driver) are
+    masked rather than exchanged -- the 12 MPI ghost fields of the
+    reference stay zero-communication (src/pair_anna_adp_gpu.cpp:135-158).
+    """
+    from ..ops.pallas_annp import _cheb_legendre, _run_g_harm
+    cc = xc.shape[0]
+    k = idx.shape[1]
+    gp = params["gp"]
+    npsf, ntsf = cfg.npsf, cfg.ntsf
+    hi_p = jax.lax.Precision.HIGHEST
+    lo, hi = vslice
+    cfgk = (("npsf", npsf), ("ntsf", ntsf), ("rc", cfg.cut))
+
+    planes = _frame_planes(xc, x_src, box, idx, cfg.pbc)
+
+    # phase 1: harmonic-ladder Chebyshev G -> (d2, q2)
+    g_raw, _ = _run_g_harm(planes[0], planes[1], planes[2], cfgk)
+    s_l = g_raw[:cc, npsf:npsf + ntsf]
+    f2 = g_raw[:cc, npsf + ntsf:npsf + ntsf + 1]
+    cmat = jnp.asarray(_cheb_legendre(ntsf), xc.dtype)
+    g = jnp.concatenate(
+        [g_raw[:cc, :npsf],
+         0.5 * (jnp.dot(s_l, cmat.T, precision=hi_p) - f2)], axis=1)
+    w1, w2, w3 = (params["w"][l][0] for l in range(3))
+    b1_, b2_, b3_ = (params["b"][l][0] for l in range(3))
+    lp = mlp_apply((w1, w2, w3), (b1_, b2_, b3_), cfg.flagact,
+                   cfg.act_style, g)                      # [cc, 2]
+
+    n_pad = -(-cc // chunk) * chunk
+    dxp = [_pad2(p[:cc], n_pad, 2.0e4).reshape(-1, chunk, k)
+           for p in planes]
+    lp_p = _pad2(lp, n_pad, 0.0).reshape(-1, chunk, 2)
+
+    # phase 2: fields + atom energies for every center row
+    e_at, fcols = jax.lax.map(
+        lambda a: _fields_from_planes(cfg, gp, a[0], a[1], a[2], a[3]),
+        (dxp[0], dxp[1], dxp[2], lp_p))
+    # _fields_from_planes excludes the per-atom base; the frame contract
+    # (energy_forces_frame) returns eat INCLUDING it (drivers subtract)
+    e_at = e_at.reshape(n_pad)[:cc] + cfg.e_base
+    fcols = fcols.reshape(n_pad, len(_FIELD_ORDER))[:cc]
+    ftab = jnp.pad(fcols, ((0, 1), (0, 16 - len(_FIELD_ORDER))))
+
+    # phase 3: newton-off pair force; partner rows = frame index - off,
+    # sentinel cc for out-of-center partners (their rows are discarded)
+    t = idx - off
+    ic = jnp.where((idx < x_src.shape[0]) & (t >= 0) & (t < cc),
+                   jnp.clip(t, 0, cc - 1), cc)
+    ic_p = _pad2(ic, n_pad, cc).reshape(-1, chunk, k)
+    vm = ((jnp.arange(n_pad) >= lo)
+          & (jnp.arange(n_pad) < hi)).astype(xc.dtype)
+    vm_p = vm.reshape(-1, chunk)
+
+    def p3(args):
+        xx, xy, xz, icb, oc, vb = args
+        rc_ = cfg.cut
+        rsq = xx * xx + xy * xy + xz * xz
+        m = (icb < cc) & (rsq < rc_ * rc_) & (rsq > 1.0e-12)
+        mf = m.astype(xx.dtype)
+        r = jnp.sqrt(jnp.where(m, rsq, 1.0))
+        stx = (r - rc_) / gp[12]
+        t1 = 1.0 + stx ** 4
+        stpf = stx ** 4 / t1
+        dstpf = 4.0 * stx ** 3 / (t1 * t1) / gp[12]
+        rsh = _force_r_shared(gp, r, stpf, dstpf)
+        fj16 = ftab[jnp.minimum(icb, cc)]
+        nbr = {kk: fj16[:, :, c] for c, kk in enumerate(_FIELD_ORDER)}
+        ctr = {kk: oc[:, c][:, None] for c, kk in enumerate(_FIELD_ORDER)}
+        g_self = _pair_force_planes(gp, ctr, xx, xy, xz, r, stpf,
+                                    dstpf, rsh)
+        g_nbr = _pair_force_planes(gp, nbr, -xx, -xy, -xz, r, stpf,
+                                   dstpf, rsh)
+        fp = [(gn - gs) * mf for gn, gs in zip(g_nbr, g_self)]
+        f = [jnp.sum(c, axis=1) for c in fp]
+        if want_virial:
+            dxs = (xx, xy, xz)
+            vbm = vb[:, None]
+            wv = jnp.asarray([[0.5 * jnp.sum(dxs[a] * fp[b] * vbm)
+                               for b in range(3)] for a in range(3)])
+        else:
+            wv = jnp.zeros((3, 3), xx.dtype)
+        return f[0], f[1], f[2], wv
+
+    fx, fy, fz, wv = jax.lax.map(
+        p3, (dxp[0], dxp[1], dxp[2], ic_p,
+             _pad2(fcols, n_pad, 0.0).reshape(-1, chunk,
+                                              len(_FIELD_ORDER)),
+             vm_p))
+    f = jnp.stack([fx.reshape(n_pad)[:cc], fy.reshape(n_pad)[:cc],
+                   fz.reshape(n_pad)[:cc]], axis=1)
+    if not want_virial:
+        return e_at, f
+    w = jnp.sum(wv, axis=0)
+    return e_at, f, 0.5 * (w + w.T)
+
+
 
 def energy_forces_frame(cfg: AnnaConfig, params, xc, x_src, box, idx, off,
                         vslice, want_virial=False, chunk=512):

@@ -746,6 +746,102 @@ class PairTableOps:
         _, akey_flat = jax.lax.sort((perm, src), num_keys=1)
         return akey_flat.reshape(p, ks), bad_band
 
+    def compact_short_frame(self, x_ext, box, idx, off, cc):
+        """Frame variant of the rev-free compaction (sharded drivers).
+
+        x_ext [C_ext, 3]: the device's position frame; idx [cc, K] skin
+        rows of the cc center rows (frame indices); center row t sits at
+        frame row off + t. Returns (sidx [P, Ks] frame indices ascending,
+        C_ext for fillers; akey [P, Ks]; overflow).
+
+        Delivery-key construction mirrors _akey_from_sidx with one frame
+        twist: entries whose partner is NOT a center row self-key into
+        their own band (their Fj must not be delivered -- the partner's
+        force is computed by the owning device). Band j then holds
+        A_j (deliveries) + X_j (self-keyed) + (Ks - count_j) fillers
+        = Ks exactly, because within-frame symmetry gives A_j = (j's
+        center partners) and count_j = A_j + X_j. Rows with X_j > 0 are
+        frame-edge rows whose forces the driver discards; LOCAL rows have
+        every partner in the center range (the rebuild coverage proof), so
+        their received sums are exact -- and sums are what _assemble
+        consumes, making the in-band order immaterial.
+        """
+        n_src = x_ext.shape[0]
+        k = idx.shape[1]
+        ks = min(self.k_short, k)    # a skin list narrower than Ks is
+                                     # already its own short table
+        rc_s = self.short_rc + self.short_delta
+        p = -(-cc // TILE) * TILE
+        idx_p = _padr(idx, p, n_src)
+        x8 = jnp.pad(x_ext, ((0, 1), (0, 5)))
+        xc = x_ext[off: off + cc]
+        xc = _padr(xc, p, 0.0)
+
+        xj = x8[jnp.minimum(idx_p, n_src)]
+        valid = idx_p < n_src
+        rsq = jnp.zeros(idx_p.shape, x_ext.dtype)
+        for d in range(3):
+            c = xc[:, d][:, None] - xj[:, :, d]
+            if self.pbc[d]:
+                c = c - box[d] * jnp.round(c / box[d])
+            c = jnp.where(valid, c, 2.0 * box[d] + 10.0)
+            rsq = rsq + c * c
+        mask = valid & (rsq < rc_s * rc_s) & (rsq > 1.0e-12)
+        counts = jnp.sum(mask.astype(jnp.int32), axis=1)
+        key = jnp.where(mask, jnp.minimum(idx_p, n_src), n_src + 1)
+        sidx = jnp.minimum(jnp.sort(key, axis=1)[:, :ks], n_src)
+        overflow = jnp.any(counts > ks)
+
+        ok = sidx < n_src
+        t_center = sidx - off
+        in_ctr = ok & (t_center >= 0) & (t_center < cc)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (p, ks), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (p, ks), 1)
+        key1 = jnp.where(in_ctr, jnp.clip(t_center, 0, cc - 1),
+                         rows).reshape(-1)
+        # senders order by own center row; self-keyed and filler entries
+        # order behind every sender (any consistent order works: only the
+        # per-band SUM is consumed)
+        key2 = jnp.where(in_ctr, rows, p + lane).reshape(-1)
+        src = jnp.arange(p * ks, dtype=jnp.int32)
+        k1s, _, perm = jax.lax.sort((key1, key2, src), num_keys=2)
+        bad_band = jnp.any(k1s != src // ks)
+        _, akey_flat = jax.lax.sort((perm, src), num_keys=1)
+        return sidx, akey_flat.reshape(p, ks), overflow | bad_band
+
+    def energy_forces_frame_short(self, xc_pad, x_src, box, sidx, akey,
+                                  cc, want_virial=False, vslice=None):
+        """Per-step frame evaluation against a frame ShortList
+        (compact_short_frame): gather + kernels + one banded delivery
+        sort. Returns (eat [cc], forces [cc, 3][, w]); only rows whose
+        partners are all center rows (every local row) are physical.
+
+        want_virial: pairwise +-1/2 virial summed over center rows
+        [vslice[0], vslice[1]) so a psum counts each pair once."""
+        n_src = x_src.shape[0]
+        p, ks = sidx.shape
+        x8 = jnp.pad(x_src, ((0, 1), (0, 5)))
+        xj = x8[jnp.minimum(sidx, n_src)]
+        valid = sidx < n_src
+        dd = []
+        for d in range(3):
+            c = xc_pad[:, d][:, None] - xj[:, :, d]
+            if self.pbc[d]:
+                c = c - box[d] * jnp.round(c / box[d])
+            dd.append(jnp.where(valid, c, 2.0 * box[d] + 10.0))
+        eat, (fjx, fjy, fjz) = self._eval_fj(*dd)
+        forces = self._assemble(fjx, fjy, fjz, akey, cc, ks)
+        if not want_virial:
+            return eat[:cc], forces
+        lo, hi = (0, cc) if vslice is None else vslice
+        m = valid[lo:hi].astype(x_src.dtype)
+        comps = []
+        for da in dd:
+            comps.append([-jnp.sum(da[lo:hi] * fb[lo:hi] * m)
+                          for fb in (fjx, fjy, fjz)])
+        w = jnp.asarray(comps)
+        return eat[:cc], forces, 0.5 * (w + w.T)
+
     def compact_short(self, x, box, nbr_idx, rev_slots=None, row_chunk=8192):
         """Build the refresh-static ShortList from the skin list.
 
@@ -825,7 +921,7 @@ class PallasAnnp(PairTableOps):
 
     def __init__(self, cfg, params, k_short=128, angular="harmonic",
                  short_delta=0.3, coloring: Optional[ColoringSpec] = None,
-                 res_delta=0.25):
+                 res_delta=0.25, elems=None):
         self.k_short = k_short
         # symmetric pair-lane coloring tables (ops/pair_coloring) enabling
         # the column-sorted delivery; None keeps the banded flat sort
@@ -877,41 +973,77 @@ class PallasAnnp(PairTableOps):
         pad = NSF_PAD - nsf
         self.scale = jnp.pad(params["sf_scale"], (0, pad)).reshape(1, NSF_PAD)
         self.shift = jnp.pad(params["sf_shift"], (0, pad)).reshape(1, NSF_PAD)
-        w1, w2, w3 = (params["w"][l][0] for l in range(3))
-        b1, b2, b3 = (params["b"][l][0] for l in range(3))
-        self.w1 = jnp.pad(w1, ((0, 0), (0, NSF_PAD - w1.shape[1]))).astype(dt)
-        self.b1 = b1.reshape(1, -1).astype(dt)
-        self.w2 = w2.astype(dt)
-        self.b2 = b2.reshape(1, -1).astype(dt)
-        self.w3 = w3.astype(dt)                  # [1, nnod]
-        self.b3 = b3.reshape(1, -1).astype(dt)
+        # per-element network stacks; the descriptors and normalization are
+        # element-independent in the .ann schema (one shared row pair,
+        # fe/src/pair_annp.cpp:252-297), so multi-element only selects the
+        # tiny MLP per center atom (see _mlp_eat_dedg)
+        self.ne = params["w"][0].shape[0]
+        self.w1e = [jnp.pad(params["w"][0][e],
+                            ((0, 0), (0, NSF_PAD - params["w"][0].shape[2]))
+                            ).astype(dt) for e in range(self.ne)]
+        self.b1e = [params["b"][0][e].reshape(1, -1).astype(dt)
+                    for e in range(self.ne)]
+        self.w2e = [params["w"][1][e].astype(dt) for e in range(self.ne)]
+        self.b2e = [params["b"][1][e].reshape(1, -1).astype(dt)
+                    for e in range(self.ne)]
+        self.w3e = [params["w"][2][e].astype(dt) for e in range(self.ne)]
+        self.b3e = [params["b"][2][e].reshape(1, -1).astype(dt)
+                    for e in range(self.ne)]
+        self.w1, self.b1 = self.w1e[0], self.b1e[0]
+        self.w2, self.b2 = self.w2e[0], self.b2e[0]
+        self.w3, self.b3 = self.w3e[0], self.b3e[0]
+        # per-atom element ids (int32 [N]); None = single-element scene
+        self.elems = (None if elems is None
+                      else jnp.asarray(elems, jnp.int32))
 
     @property
     def short_rc(self):
         return dict(self.cfg_key)["rc"]
 
-    def _mlp_eat_dedg(self, g_pad):
-        """XLA-side tiny MLP forward + hand VJP from padded raw descriptors."""
+    def _mlp_one(self, g, nsf, flags, style, e_scale, e_shift,
+                 w1, b1, w2, b2, w3, b3):
+        hi = jax.lax.Precision.HIGHEST
+        z1 = jnp.dot(g, w1[:, :nsf].T, precision=hi) + b1
+        h1, d1 = _act_and_grad(z1, flags[0], style)
+        z2 = jnp.dot(h1, w2.T, precision=hi) + b2
+        h2, d2 = _act_and_grad(z2, flags[1], style)
+        z3 = jnp.dot(h2, w3.T, precision=hi) + b3
+        out, d3 = _act_and_grad(z3, flags[2], style)
+        eat = e_scale * out[:, 0] + e_shift
+        v = d3 * w3
+        v = jnp.dot(v * d2, w2, precision=hi)
+        v = jnp.dot(v * d1, w1[:, :nsf], precision=hi)
+        dedg = v * self.scale[:, :nsf] * e_scale
+        return eat, dedg
+
+    def _mlp_eat_dedg(self, g_pad, el=None):
+        """XLA-side tiny MLP forward + hand VJP from padded raw
+        descriptors. el [rows] (int32 element per row) selects each
+        center's network for multi-element potentials: every (tiny)
+        network runs on the chunk and a where-select keeps the row's own
+        -- the dense analogue of the reference's per-type map dispatch."""
         cfg = dict(self.cfg_key)
         nsf = cfg["npsf"] + cfg["ntsf"]
         flags, style = cfg["flags"], cfg["style"]
-        hi = jax.lax.Precision.HIGHEST
         g = (g_pad[:, :nsf] - self.shift[:, :nsf]) * self.scale[:, :nsf]
-        z1 = jnp.dot(g, self.w1[:, :nsf].T, precision=hi) + self.b1
-        h1, d1 = _act_and_grad(z1, flags[0], style)
-        z2 = jnp.dot(h1, self.w2.T, precision=hi) + self.b2
-        h2, d2 = _act_and_grad(z2, flags[1], style)
-        z3 = jnp.dot(h2, self.w3.T, precision=hi) + self.b3
-        out, d3 = _act_and_grad(z3, flags[2], style)
-        eat = cfg["e_scale"] * out[:, 0] + cfg["e_shift"]
-        v = d3 * self.w3
-        v = jnp.dot(v * d2, self.w2, precision=hi)
-        v = jnp.dot(v * d1, self.w1[:, :nsf], precision=hi)
-        dedg = v * self.scale[:, :nsf] * cfg["e_scale"]
+        args = (nsf, flags, style, cfg["e_scale"], cfg["e_shift"])
+        if self.ne == 1 or el is None:
+            eat, dedg = self._mlp_one(g, *args, self.w1, self.b1, self.w2,
+                                      self.b2, self.w3, self.b3)
+        else:
+            eat = jnp.zeros(g.shape[0], g.dtype)
+            dedg = jnp.zeros_like(g)
+            for e in range(self.ne):
+                ea, de = self._mlp_one(g, *args, self.w1e[e], self.b1e[e],
+                                       self.w2e[e], self.b2e[e],
+                                       self.w3e[e], self.b3e[e])
+                sel = el == e
+                eat = jnp.where(sel, ea, eat)
+                dedg = jnp.where(sel[:, None], de, dedg)
         dedg = jnp.pad(dedg, ((0, 0), (0, NSF_PAD - nsf)))
         return eat, dedg
 
-    def _mlp_eat_dedg_harm(self, g_raw, a_pad):
+    def _mlp_eat_dedg_harm(self, g_raw, a_pad, el=None):
         """Harmonic-path glue: S_l power sums -> angular G, MLP forward +
         VJP, then the per-atom force coefficients (radial dE/dG columns and
         the B_lm vector with 2q in its trailing column)."""
@@ -923,7 +1055,7 @@ class PallasAnnp(PairTableOps):
         g_ang = 0.5 * (jnp.dot(s_l, self.cmat.T, precision=hi) - f2)
         g_all = jnp.concatenate([g_raw[:, :npsf], g_ang], axis=1)
         eat, dedg = self._mlp_eat_dedg(
-            jnp.pad(g_all, ((0, 0), (0, NSF_PAD - g_all.shape[1]))))
+            jnp.pad(g_all, ((0, 0), (0, NSF_PAD - g_all.shape[1]))), el)
         dedg_ang = dedg[:, npsf:npsf + ntsf]
         # B_lm = (sum_n dE/dG_n c_nl) A_lm  (the 0.5 tally x d(S^2)=2A fold)
         bco = jnp.dot(dedg_ang, self.cmat, precision=hi)       # [N, l]
@@ -935,16 +1067,22 @@ class PallasAnnp(PairTableOps):
         dedg_rad = jnp.pad(dedg[:, :npsf], ((0, 0), (0, NSF_PAD - npsf)))
         return eat, dedg_rad, b
 
-    def _eval_fj(self, dxx, dxy, dxz):
+    def _el_rows(self, p):
+        """Per-row element ids padded to p rows (None = single-element)."""
+        if self.elems is None or self.ne == 1:
+            return None
+        return _padr(self.elems, p, 0)
+
+    def _eval_fj(self, dxx, dxy, dxz, el=None):
         """Run the fused pipeline on (compacted) displacement rows; returns
-        (eat, (fjx, fjy, fjz))."""
+        (eat, (fjx, fjy, fjz)). el: optional per-row element ids."""
         if self.angular == "harmonic":
             g_raw, a_pad = _run_g_harm(dxx, dxy, dxz, self.cfg_key)
-            eat, dedg_rad, b = self._mlp_eat_dedg_harm(g_raw, a_pad)
+            eat, dedg_rad, b = self._mlp_eat_dedg_harm(g_raw, a_pad, el)
             fj = _run_force_harm(dxx, dxy, dxz, dedg_rad, b, self.cfg_key)
         else:
             g_pad = _run_g(dxx, dxy, dxz, self.cfg_key)
-            eat, dedg = self._mlp_eat_dedg(g_pad)
+            eat, dedg = self._mlp_eat_dedg(g_pad, el)
             fj = _run_force(dxx, dxy, dxz, dedg, self.cfg_key)
         return eat, fj
 
@@ -1126,11 +1264,14 @@ class PallasAnnp(PairTableOps):
         x8 = jnp.pad(x, ((0, 1), (0, 5)))
         nb = c_pad // row_chunk
 
+        el_all = self._el_rows(c_pad)
+
         def block(args):
-            idx_c, rev_c, xi_c, i0 = args
+            idx_c, rev_c, xi_c, i0 = args[:4]
             ax, ay, az, akey, ok, ovf = self._repack_block(
                 x8, n, k, box, idx_c, rev_c, xi_c, i0)
-            eat, (fjx, fjy, fjz) = self._eval_fj(ax, ay, az)
+            eat, (fjx, fjy, fjz) = self._eval_fj(
+                ax, ay, az, args[4] if el_all is not None else None)
             outs = [eat, fjx, fjy, fjz, akey, ok, ovf]
             if want_virial:
                 m = ok.astype(x.dtype)
@@ -1141,11 +1282,12 @@ class PallasAnnp(PairTableOps):
                 outs.append(jnp.asarray(comps))
             return tuple(outs)
 
-        outs = jax.lax.map(
-            block,
-            (idx.reshape(nb, row_chunk, k), rev.reshape(nb, row_chunk, k),
-             xi_all.reshape(nb, row_chunk, 3),
-             jnp.arange(nb, dtype=jnp.int32) * row_chunk))
+        ops = (idx.reshape(nb, row_chunk, k), rev.reshape(nb, row_chunk, k),
+               xi_all.reshape(nb, row_chunk, 3),
+               jnp.arange(nb, dtype=jnp.int32) * row_chunk)
+        if el_all is not None:
+            ops = ops + (el_all.reshape(nb, row_chunk),)
+        outs = jax.lax.map(block, ops)
         eat = outs[0].reshape(c_pad)[:n]
         fjx, fjy, fjz, akey = (o.reshape(c_pad, ks) for o in outs[1:5])
         ok = outs[5].reshape(c_pad, ks)
@@ -1386,8 +1528,10 @@ class PallasAnnp(PairTableOps):
         xi_all = _padr(x, c_pad, 0.0)
         nb = c_pad // row_chunk
 
+        el_all = self._el_rows(c_pad)
+
         def block(args):
-            idx_c, xi_c = args
+            idx_c, xi_c = args[:2]
             xj = x8[jnp.minimum(idx_c, n)]
             valid = idx_c < n
             dd = []
@@ -1396,7 +1540,8 @@ class PallasAnnp(PairTableOps):
                 if self.pbc[d]:
                     c = c - box[d] * jnp.round(c / box[d])
                 dd.append(jnp.where(valid, c, 2.0 * box[d] + 10.0))
-            eat, (fjx, fjy, fjz) = self._eval_fj(*dd)
+            eat, (fjx, fjy, fjz) = self._eval_fj(
+                *dd, args[2] if el_all is not None else None)
             outs = [eat, fjx, fjy, fjz]
             if want_virial:
                 m = valid.astype(x.dtype)
@@ -1405,9 +1550,11 @@ class PallasAnnp(PairTableOps):
                      for da in dd]))
             return tuple(outs)
 
-        outs = jax.lax.map(
-            block, (sidx.reshape(nb, row_chunk, ks),
-                    xi_all.reshape(nb, row_chunk, 3)))
+        ops = (sidx.reshape(nb, row_chunk, ks),
+               xi_all.reshape(nb, row_chunk, 3))
+        if el_all is not None:
+            ops = ops + (el_all.reshape(nb, row_chunk),)
+        outs = jax.lax.map(block, ops)
         eat = outs[0].reshape(c_pad)[:p]
         fjx, fjy, fjz = (o.reshape(c_pad, ks)[:p] for o in outs[1:4])
         w = None
@@ -1440,7 +1587,8 @@ class PallasAnnp(PairTableOps):
                 x, box, sl, want_virial)
         else:
             dxx, dxy, dxz = self._pair_dx(x, box, sl.sidx)
-            eat, (fjx, fjy, fjz) = self._eval_fj(dxx, dxy, dxz)
+            eat, (fjx, fjy, fjz) = self._eval_fj(
+                dxx, dxy, dxz, self._el_rows(dxx.shape[0]))
             w = None
             if want_virial:
                 m = (sl.sidx < n).astype(x.dtype)
@@ -1489,7 +1637,7 @@ class PallasAnnp(PairTableOps):
         n = x.shape[0]
         dxx, dxy, dxz = self._pair_dx(x, box, nbr_idx)
         g_pad = _run_g(dxx, dxy, dxz, self.cfg_key)
-        eat, dedg = self._mlp_eat_dedg(g_pad)
+        eat, dedg = self._mlp_eat_dedg(g_pad, self._el_rows(dxx.shape[0]))
         return eat[:n], dedg[:n]
 
     def energy_forces(self, x, box, nbr_idx, rev_slots, want_virial=False,
@@ -1540,7 +1688,8 @@ class PallasAnnp(PairTableOps):
                              row * (2 * k) + k + lane)
             ks = k
         p = dxx.shape[0]
-        eat, (fjx, fjy, fjz) = self._eval_fj(dxx, dxy, dxz)
+        eat, (fjx, fjy, fjz) = self._eval_fj(
+            dxx, dxy, dxz, self._el_rows(p))
         forces = self._assemble(fjx, fjy, fjz, akey, n, ks)
         # shift-free summation: |e_shift| ~ 4.5e3 eV/atom would swamp f32.
         # shift=False returns the shift-free sum itself (resolution ~1e-2 eV

@@ -67,6 +67,17 @@ from ..system.neighbors import (build_neighbors_cell, build_neighbors_n2,
 from ..units import BOLTZ, MVV2E, NKTV2P
 
 
+class FrameShort(NamedTuple):
+    """Refresh-static frame short list (FrameShortModel): per-device
+    compacted pair tables rebuilt from the stored skin list every block
+    boundary (the sharded analogue of the single-chip ShortList epochs)."""
+    sidx: jax.Array   # [D, P, Ks] partner frame indices (C_ext = filler)
+    akey: jax.Array   # [D, P, Ks] banded delivery keys (two-sort inversion)
+    ref: jax.Array    # [D, C, 3] local positions at refresh (drift guard);
+                      # compaction overflow folds into ShardState.overflow
+                      # as OVF_SHORT
+
+
 class ShardState(NamedTuple):
     """Sharded MD state. Leaves with a leading [D] axis are sharded over the
     mesh axis "dp"; the rest are replicated."""
@@ -97,6 +108,9 @@ class ShardState(NamedTuple):
                           # 1-D slab driver; Plan2D for ShardedMD2D, whose
                           # send tables are recomputed in-graph at rebuild
                           # so rows may migrate between devices)
+    short: Any = None     # FrameShort when the model serves the refresh-
+                          # static frame short list (FrameShortModel);
+                          # refreshed every block boundary + at rebuild
 
 
 # overflow bitmask bits (ShardState.overflow) -- a sticky nonzero value
@@ -105,16 +119,18 @@ class ShardState(NamedTuple):
 OVF_NEIGHBOR = 1   # a neighbor row exceeded capacity K
 OVF_FRAME = 2      # an atom left the static frame x-extent
 OVF_COVERAGE = 4   # the rebuild-time halo coverage proof failed
+OVF_SHORT = 8      # frame short-list compaction overflow / band violation
 
 
-def _state_specs(plan_spec=None):
+def _state_specs(plan_spec=None, short_spec=None):
     sh, rep = P("dp"), P()
     return ShardState(
         x_loc=sh, v_loc=sh, f_loc=sh, gid=sh, halo_l=sh, halo_r=sh,
         idx=sh, rev=sh,
         ref_loc=sh, pe=sh, box=rep, virial=rep,
         nhc=I.NHCState(rep, rep), v_eps=rep, baro_nhc=I.NHCState(rep, rep),
-        step=rep, stale=sh, unsafe=sh, overflow=sh, plan=plan_spec)
+        step=rep, stale=sh, unsafe=sh, overflow=sh, plan=plan_spec,
+        short=short_spec)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -185,6 +201,42 @@ class AnnpFrameModel:
             vslice=vslice if want_virial else None)
 
 
+class FrameShortModel:
+    """Serve a fused pair-table evaluator (ops.pallas_annp.PallasAnnp for
+    fe/fe_v2 or ops.pallas_ni.PallasNi for ni) from the sharded drivers
+    through the refresh-static frame short list -- the single-chip fast
+    path's ShortList epochs, per device frame. The skin list built at
+    rebuild stays in the state; every block boundary the driver recompacts
+    it against current positions (compact_short_frame: rev-free two-sort
+    delivery keys), and each step then runs gather + kernels + ONE banded
+    delivery sort at the short width Ks instead of the full skin width K
+    (the reference runs its same kernels under MPI, fe/lib/lal_annp.cu
+    rank-agnostic).
+    """
+    with_rev = False
+    is_short = True
+
+    def __init__(self, pk):
+        self.pk = pk
+        if hasattr(pk, "cfg_key"):
+            self.e_shift = dict(pk.cfg_key)["e_shift"]
+        else:
+            self.e_shift = pk.e_shift
+
+    @property
+    def short_delta(self):
+        return self.pk.short_delta
+
+    def refresh(self, x_ext, box, idx, off, cc):
+        return self.pk.compact_short_frame(x_ext, box, idx, off, cc)
+
+    def eval_short(self, xc_pad, x_ext, box, sidx, akey, cc, vslice,
+                   want_virial):
+        return self.pk.energy_forces_frame_short(
+            xc_pad, x_ext, box, sidx, akey, cc,
+            want_virial=want_virial, vslice=vslice if want_virial else None)
+
+
 class XlaFrameModel:
     """Adapter: chunked XLA ANNP evaluation over a halo frame (fe AND ni).
 
@@ -221,17 +273,22 @@ class AnnaFrameModel:
     """
     with_rev = False
 
-    def __init__(self, mcfg, params):
+    def __init__(self, mcfg, params, fast=False):
         from ..models import anna_adp
         self._m = anna_adp
         self.mcfg = mcfg
         self.params = params
         self.e_shift = mcfg.e_base
+        # fast: the plane-layout TPU path (harmonic-Pallas phase 1,
+        # packed field gathers, shared r-only force terms) -- the sharded
+        # serving of make_anna_fast_fns (VERDICT round-4 item 2)
+        self.fast = fast
 
     def eval(self, xc, x_ext, box, idx, rev, off, vslice, want_virial):
-        return self._m.energy_forces_frame(
-            self.mcfg, self.params, xc, x_ext, box, idx, off, vslice,
-            want_virial=want_virial)
+        fn = (self._m.energy_forces_frame_fast if self.fast
+              else self._m.energy_forces_frame)
+        return fn(self.mcfg, self.params, xc, x_ext, box, idx, off, vslice,
+                  want_virial=want_virial)
 
 
 class ShardedMD:
@@ -398,14 +455,43 @@ class ShardedMD:
             baro_nhc=I.NHCState.zeros(cfg.pchain, dtype),
             step=jnp.asarray(0, jnp.int32),
             stale=jnp.zeros(D, bool), unsafe=jnp.zeros(D, bool),
-            overflow=jnp.zeros(D, jnp.int32))
+            overflow=jnp.zeros(D, jnp.int32),
+            short=self._short_placeholder(x_l))
         st = self._shard(st)
         st = self.rebuild(st)
         st = self.refill_forces(st)
         return st, order
 
+    @property
+    def _is_short(self):
+        return getattr(self.model, "is_short", False)
+
+    def _short_placeholder(self, x_l):
+        """Structural FrameShort placeholder so the sharded programs see a
+        consistent pytree; rebuild() -> refresh_short() fills it before
+        any force evaluation reads it."""
+        if not self._is_short:
+            return None
+        off, cc = self._short_geom()
+        p = -(-cc // 8) * 8
+        ks = min(self.model.pk.k_short, self.cfg.capacity)
+        d = x_l.shape[0]
+        return FrameShort(
+            sidx=jnp.full((d, p, ks), self._frame_rows(), jnp.int32),
+            akey=jnp.zeros((d, p, ks), jnp.int32), ref=x_l)
+
+    def _short_geom(self):
+        """(off, cc) of the center rows inside the frame (layout hook)."""
+        return self.cfg.halo_b - self.cfg.bc, self.cfg.cc
+
+    def _frame_rows(self):
+        return self.cfg.c_ext
+
+    def _short_spec(self):
+        return (FrameShort(*([P("dp")] * 3)) if self._is_short else None)
+
     def _specs(self):
-        return _state_specs()
+        return _state_specs(short_spec=self._short_spec())
 
     def _shard(self, st):
         leaves, treedef = jax.tree_util.tree_flatten(st)
@@ -425,17 +511,30 @@ class ShardedMD:
     def _frame(self, x, hl, hr):
         return jnp.concatenate([hl, x, hr], axis=0)      # [C_ext, 3]
 
-    def _force_local(self, x, hl, hr, box, idx, rev):
+    def _force_local(self, x, hl, hr, box, idx, rev, short=None):
         """(pe_shiftfree, f_local [C,3], w_local [3,3])."""
         cfg = self.cfg
         x_ext = self._frame(x, hl, hr)
         off = cfg.halo_b - cfg.bc
         xc = x_ext[off: off + cfg.cc]
         sl = (cfg.bc, cfg.bc + cfg.c_loc)
-        eat, forces, w = self.model.eval(xc, x_ext, box, idx, rev, off, sl,
-                                         True)
+        if short is not None:
+            eat, forces, w = self._eval_frame_short(xc, x_ext, box, short,
+                                                    cfg.cc, sl)
+        else:
+            eat, forces, w = self.model.eval(xc, x_ext, box, idx, rev, off,
+                                             sl, True)
         pe = jnp.sum(eat[sl[0]:sl[1]] - self.model.e_shift)
         return pe, forces[sl[0]:sl[1]], w
+
+    def _eval_frame_short(self, xc, x_ext, box, short, cc, sl):
+        """Fast-path frame evaluation through the FrameShort tables
+        (device-local leaves, leading [1] axis stripped)."""
+        p = short.sidx.shape[1]
+        xc_pad = xc if p == cc else jnp.concatenate(
+            [xc, jnp.zeros((p - cc, 3), xc.dtype)])
+        return self.model.eval_short(xc_pad, x_ext, box, short.sidx[0],
+                                     short.akey[0], cc, sl, True)
 
     def _halo_refresh(self, x_loc):
         cfg = self.cfg
@@ -452,13 +551,15 @@ class ShardedMD:
 
         Returns (halo_updates kwargs for st._replace, pe, f_local, w)."""
         hl, hr = self._halo_refresh(x)
-        pe, f, w = self._force_local(x, hl, hr, box, st.idx[0], st.rev[0])
+        pe, f, w = self._force_local(x, hl, hr, box, st.idx[0], st.rev[0],
+                                     short=st.short)
         return {"halo_l": hl[None], "halo_r": hr[None]}, pe, f, w
 
     def _force_stored(self, st: ShardState):
         """Force eval with the halos already stored in the state."""
         return self._force_local(st.x_loc[0], st.halo_l[0], st.halo_r[0],
-                                 st.box, st.idx[0], st.rev[0])
+                                 st.box, st.idx[0], st.rev[0],
+                                 short=st.short)
 
     def _max_displacement_sq(self, x, ref, box):
         rsq = jnp.zeros(x.shape[0], x.dtype)
@@ -608,7 +709,30 @@ class ShardedMD:
     def rebuild(self, st: ShardState) -> ShardState:
         if not hasattr(self, "_rebuild_fn"):
             self._rebuild_fn = jax.jit(self._smap(self._rebuild_body))
-        return self._rebuild_fn(st)
+        st = self._rebuild_fn(st)
+        if self._is_short:
+            st = self.refresh_short(st)
+        return st
+
+    # ---------- frame short-list refresh (FrameShortModel) ----------
+    def _refresh_short_body(self, st: ShardState) -> ShardState:
+        """Recompact the stored skin list against current positions
+        (every block boundary; the single-chip ShortList epoch)."""
+        x, hl, hr = st.x_loc[0], st.halo_l[0], st.halo_r[0]
+        x_ext = self._frame(x, hl, hr)
+        off, cc = self._short_geom()
+        sidx, akey, ovf = self.model.refresh(x_ext, st.box, st.idx[0],
+                                             off, cc)
+        short = FrameShort(sidx[None], akey[None], x[None])
+        overflow = (st.overflow[0]
+                    | jnp.where(ovf, OVF_SHORT, 0)).astype(jnp.int32)
+        return st._replace(short=short, overflow=overflow[None])
+
+    def refresh_short(self, st: ShardState) -> ShardState:
+        if not hasattr(self, "_refresh_short_fn"):
+            self._refresh_short_fn = jax.jit(
+                self._smap(self._refresh_short_body))
+        return self._refresh_short_fn(st)
 
     # ---------- force refill (used by distribute / restart) ----------
     def refill_forces(self, st: ShardState) -> ShardState:
@@ -809,6 +933,12 @@ class ShardedMD:
         stale = st.stale[0] | (msq > (0.5 * cfg.stale_factor
                                       * cfg.skin) ** 2)
         unsafe = st.unsafe[0] | (msq > (0.5 * cfg.skin) ** 2)
+        if self._is_short:
+            # exact dangerous-build bound for the frame short-list epoch:
+            # a pair beyond rc + short_delta can enter the cutoff unseen
+            # only after two half-delta moves since the refresh
+            msq_s = self._max_displacement_sq(x, st.short.ref[0], box)
+            unsafe = unsafe | (msq_s > (0.5 * self.model.short_delta) ** 2)
 
         halo_up, pe, f, w = self._exchange_and_force(st, x, box)
         virial = jax.lax.psum(w, "dp")
@@ -885,7 +1015,11 @@ class ShardedMD:
         thermos = []
         self.rebuild_count = 0
         self.migrated = 0
-        for _ in range(n_blocks):
+        fresh = True      # distribute()/rebuild() just refreshed the epoch
+        for b in range(n_blocks):
+            if self._is_short and not fresh:
+                st = self.refresh_short(st)      # per-block epoch refresh
+            fresh = False
             st, th = self._run1(st)
             thermos.append(th)
             if bool(jnp.any(st.stale)):
@@ -893,6 +1027,7 @@ class ShardedMD:
                     st = self.migrate(st)
                 st = self.rebuild(st)
                 self.rebuild_count += 1
+                fresh = True
         return st, jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs), *thermos)
 

@@ -82,6 +82,34 @@ from ..system.neighbors import (build_neighbors_cell, build_neighbors_n2,
                                 reverse_slots)
 
 
+def plan_park_sites(n_rows, w_after_x, wy, wz, rlist, cell_capacity):
+    """Static pad-park geometry for a frame of n_rows rows.
+
+    Pads must sit > rlist from every real atom AND not overload any cell
+    of the frame neighbor build. A single park point piles every pad into
+    one cell and trips cell_capacity once frames grow past ~64 pads (the
+    cell-build path); instead reserve a strip of park SITES beyond the
+    real x-extent, pitch ~rlist, assigning row r to site r mod n_sites.
+    Co-located pads on one site exclude each other through the 1e-12
+    self-overlap guard, so the only constraint is <= cell_capacity pads
+    per site -- n_sites is planned for the worst case (every row a pad).
+
+    Returns (wx_total, park_xyz [n_rows, 3] float64)."""
+    rl = float(rlist) + 0.1
+    ny_s = max(1, int(wy // rl))
+    nz_s = max(1, int(wz // rl))
+    n_sites = -(-n_rows // max(1, cell_capacity // 2))
+    nx_s = -(-n_sites // (ny_s * nz_s))
+    base_x = w_after_x + rl
+    wx_total = base_x + nx_s * rl + rl
+    s = np.arange(n_rows) % (nx_s * ny_s * nz_s)
+    ix, rem = np.divmod(s, ny_s * nz_s)
+    iy, iz = np.divmod(rem, nz_s)
+    park = np.stack([base_x + (ix + 0.5) * rl, (iy + 0.5) * rl,
+                     (iz + 0.5) * rl], axis=1)
+    return wx_total, park
+
+
 class Plan2D(NamedTuple):
     """Dynamic exchange plan, one leaf set per device (sharded over "dp").
 
@@ -242,13 +270,15 @@ class ShardedMD2D(ShardedMD):
         self.by = by
         self.c1, self.c_ext2d = c1, c1 + 2 * by
 
-        # ---- frame box + grid (static), park point in the x-gutter ----
+        # ---- frame box + grid (static), park sites in the x-gutter ----
         # window = send window + one skin of drift headroom per side: a
         # marginal send-set member that drifts stays inside the frame
-        self.gutter = 2.0 * (rlist + 0.5)
         self.w_frame = self.w_send + cfg.skin
-        wx = float(np.diff(xb).max()) + 2 * self.w_frame + self.gutter
+        w_real_x = float(np.diff(xb).max()) + 2 * self.w_frame
         wy = float(np.diff(yb, axis=1).max()) + 2 * self.w_frame
+        wx, park = plan_park_sites(self.c_ext2d, w_real_x, wy,
+                                   float(box[2]), rlist, cfg.cell_capacity)
+        self.park2d = park
         self.wx_frame, self.wy_frame = wx, wy
         shrink = 0.92 if cfg.ensemble == "npt" else 1.0
         dims = cell_grid_dims((wx, wy, float(box[2]) * shrink), rlist)
@@ -270,7 +300,15 @@ class ShardedMD2D(ShardedMD):
         return self.cfg.n_devices
 
     def _specs(self):
-        return _state_specs(Plan2D(*([P("dp")] * 7)))
+        return _state_specs(Plan2D(*([P("dp")] * 7)),
+                            short_spec=self._short_spec())
+
+    def _short_geom(self):
+        # 2-D frames evaluate ALL frame rows as centers
+        return 0, self.c_ext2d
+
+    def _frame_rows(self):
+        return self.c_ext2d
 
     # ================= distribution =================
     def distribute(self, x, v=None, box=None):
@@ -324,7 +362,8 @@ class ShardedMD2D(ShardedMD):
             baro_nhc=I.NHCState.zeros(cfg.pchain, dtype),
             step=jnp.asarray(0, jnp.int32),
             stale=jnp.zeros(D, bool), unsafe=jnp.zeros(D, bool),
-            overflow=jnp.zeros(D, jnp.int32), plan=plan0)
+            overflow=jnp.zeros(D, jnp.int32), plan=plan0,
+            short=self._short_placeholder(x_l))
         st = self._shard(st)
         st = self.rebuild(st)           # replans + exchanges + builds
         st = self.refill_forces(st)
@@ -396,18 +435,23 @@ class ShardedMD2D(ShardedMD):
         return jnp.concatenate([x, hl[:bx], hr[:bx], hl[bx:], hr[bx:]],
                                axis=0)
 
-    def _force_local(self, x, hl, hr, box, idx, rev):
+    def _force_local(self, x, hl, hr, box, idx, rev, short=None):
         cfg = self.cfg
         x_ext = self._frame(x, hl, hr)
         sl = (0, cfg.c_loc)
-        eat, forces, w = self.model.eval(x_ext, x_ext, box, idx, rev, 0, sl,
-                                         True)
+        if short is not None:
+            eat, forces, w = self._eval_frame_short(
+                x_ext, x_ext, box, short, self.c_ext2d, sl)
+        else:
+            eat, forces, w = self.model.eval(x_ext, x_ext, box, idx, rev, 0,
+                                             sl, True)
         pe = jnp.sum(eat[:cfg.c_loc] - self.model.e_shift)
         return pe, forces[:cfg.c_loc], w
 
     def _exchange_and_force(self, st: ShardState, x, box):
         hl, hr = self._exchange2d(st.plan, x, box)
-        pe, f, w = self._force_local(x, hl, hr, box, st.idx[0], st.rev[0])
+        pe, f, w = self._force_local(x, hl, hr, box, st.idx[0], st.rev[0],
+                                     short=st.short)
         return {"halo_l": hl[None], "halo_r": hr[None]}, pe, f, w
 
     # ---------- in-graph replanning ----------
@@ -542,8 +586,11 @@ class ShardedMD2D(ShardedMD):
         wx = jnp.asarray(self.wx_frame, dtype)
         wy = jnp.asarray(self.wy_frame, dtype)
         pad = plan.padm[0]
-        park = jnp.stack([wx - 0.25 * self.gutter, 0.5 * wy, 0.5 * box[2]])
-        xs = jnp.where(pad[:, None], park.astype(dtype)[None, :], xs)
+        # per-row park sites (plan_park_sites); the z coordinate wraps into
+        # the (periodic-z) frame box inside the build, x sits > rlist
+        # beyond every real atom
+        park = jnp.asarray(self.park2d, dtype)          # [c_ext, 3]
+        xs = jnp.where(pad[:, None], park, xs)
         out_of_frame = jnp.any(~pad & (
             (xs[:, 0] < 0.0) | (xs[:, 0] >= wx)
             | (xs[:, 1] < 0.0) | (xs[:, 1] >= wy)))

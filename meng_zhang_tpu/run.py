@@ -164,11 +164,10 @@ def main(argv=None):
     log(f"model: {model_name}  elements={pot.elements}  cut={mcfg.cut} A  "
         f"atoms={len(x_np)}  box={np.round(box_np, 3)}")
 
-    use_pallas = (args.engine == "pallas" and model_name == "annp-chebyshev"
-                  and len(pot.elements) == 1)
+    use_pallas = args.engine == "pallas" and model_name == "annp-chebyshev"
     if args.engine == "pallas" and not use_pallas:
-        log("note: pallas engine supports single-element Chebyshev annp; "
-            "falling back to xla for this model")
+        log("note: pallas engine serves Chebyshev annp (any element "
+            "count); falling back to xla for this model")
 
     x = jnp.asarray(x_np, jnp.float32)
     box = jnp.asarray(box_np, jnp.float32)
@@ -192,7 +191,7 @@ def main(argv=None):
         pe_offset = n_atoms * mcfg.e_shift
     if use_pallas:
         from .ops.pallas_annp import PallasAnnp
-        pk = PallasAnnp(mcfg, params)
+        pk = PallasAnnp(mcfg, params, elems=elems)
 
         def force_fn(xx, bb, nbrs):
             return pk.energy_forces(xx, bb, nbrs.idx, nbrs.rev,

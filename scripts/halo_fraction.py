@@ -38,6 +38,7 @@ def main():
     from meng_zhang_tpu.geometry.lattice import bcc
     from meng_zhang_tpu.parallel.domain import ShardConfig, ShardedMD
     from meng_zhang_tpu.parallel.domain2d import Shard2DConfig, ShardedMD2D
+    from meng_zhang_tpu.parallel.domain3d import Shard3DConfig, ShardedMD3D
 
     cells = int(os.environ.get("HALO_CELLS", "100"))
     x_np, box_np = bcc([cells] * 3)          # 2,000,000 atoms at cells=100
@@ -60,13 +61,39 @@ def main():
                 np.argsort(x_np[sl, 1], kind="stable")]
         return x_np[order]
 
+    def sort3d(dx, dy):
+        sx_n, sy_n = n // dx, n // (dx * dy)
+        o1 = np.argsort(x_np[:, 0], kind="stable")
+        order = np.empty(n, np.int64)
+        for s in range(dx):
+            sl = o1[s * sx_n:(s + 1) * sx_n]
+            sl = sl[np.argsort(x_np[sl, 1], kind="stable")]
+            for t in range(dy):
+                bl = sl[t * sy_n:(t + 1) * sy_n]
+                order[s * sx_n + t * sy_n: s * sx_n + (t + 1) * sy_n] = \
+                    bl[np.argsort(x_np[bl, 2], kind="stable")]
+        return x_np[order]
+
     xs_x = np.sort(x_np[:, 0])
-    for d_tot, shapes in [(8, [None, (2, 4), (4, 2)]),
-                          (16, [None, (4, 4)]),
-                          (64, [None, (8, 8)])]:
+    for d_tot, shapes in [(8, [None, (2, 4), (4, 2), (2, 2, 2)]),
+                          (16, [None, (4, 4), (2, 2, 4)]),
+                          (64, [None, (8, 8), (4, 4, 4)])]:
         c = n // d_tot
         for shape in shapes:
-            if shape is None:
+            if shape is not None and len(shape) == 3:
+                cfg = Shard3DConfig(n_devices=d_tot, mesh_shape=shape,
+                                    c_loc=c, cutoff=cutoff, skin=skin,
+                                    dt=0.001)
+                md = ShardedMD3D(_Stub(), 55.845, box_np, cfg)
+                try:
+                    md._plan3d(sort3d(shape[0], shape[1]), box_np)
+                    ghost = md.c_ext3d - c
+                    note = ""
+                except ValueError as e:
+                    ghost, note = None, str(e).split(":")[0]
+                label = (f"{d_tot} dev, 3-D "
+                         f"{shape[0]}x{shape[1]}x{shape[2]}")
+            elif shape is None:
                 cfg = ShardConfig(n_devices=d_tot, c_loc=c, cutoff=cutoff,
                                   skin=skin, dt=0.001)
                 md = ShardedMD(_Stub(), 55.845, box_np, cfg)

@@ -137,6 +137,17 @@ def main():
     log(f"pipeline (gather + kernels + MLP): {t:.3f} s")
     fjx, fjy, fjz = outs[1], outs[2], outs[3]
 
+    # pipeline sub-phases (unchunked: the planes fit HBM at 2M now)
+    gat = jax.jit(lambda xx, bb, ss: pk._pair_dx(xx, bb, ss))
+    t, dplanes = timeit(gat, x, box, sl.sidx)
+    res["gather"] = t
+    log(f"gather (short dx planes): {t:.3f} s")
+    kern = jax.jit(lambda a, b, c: pk._eval_fj(a, b, c))
+    t, _ = timeit(kern, *dplanes)
+    res["kernels_mlp"] = t
+    log(f"kernels + MLP on planes: {t:.3f} s")
+    del dplanes, _
+
     asm = jax.jit(lambda a, b, c, k: pk._assemble(a, b, c, k, n, pk.k_short))
     t, _ = timeit(asm, fjx, fjy, fjz, sl.akey)
     res["assemble"] = t

@@ -69,6 +69,89 @@ def test_sharded_forces_match_single_chip(scene, n_dev):
                                rtol=1e-8, atol=1e-9)
 
 
+def test_frame_short_forces_match_single_chip(scene):
+    """The refresh-static frame short list (FrameShortModel, the sharded
+    fast path: VERDICT round-4 item 2) reproduces the single-chip forces,
+    energy and virial exactly -- kernels run at Ks instead of the skin
+    width K, no reverse slots anywhere."""
+    from meng_zhang_tpu.parallel.domain import FrameShortModel
+    mcfg, params, x, box, pk, e_ref, f_ref, w_ref = scene
+    n = x.shape[0]
+    pks = PallasAnnp(mcfg, params, k_short=128, short_delta=0.3)
+    md = ShardedMD(FrameShortModel(pks), MASS_FE, box, _scfg(4, n))
+    st, order = md.distribute(x)
+    assert not bool(jnp.any(st.overflow)), np.asarray(st.overflow)
+    e_tot = float(jnp.sum(st.pe)) + n * md.model.e_shift
+    inv = np.argsort(np.asarray(order))
+    f_global = np.asarray(st.f_loc).reshape(n, 3)[inv]
+    np.testing.assert_allclose(e_tot, e_ref, rtol=1e-10)
+    assert np.max(np.abs(f_global - f_ref)) < 1e-9
+    np.testing.assert_allclose(np.asarray(st.virial), w_ref,
+                               rtol=1e-8, atol=1e-9)
+
+
+def test_frame_short_ni_forces(ni_pot):
+    """PallasNi served from the sharded driver through the frame short
+    list (there was no sharded ni fused path before round 5)."""
+    from meng_zhang_tpu.models.annp import (effective_cutoff,
+                                            energy_forces_virial_chunked)
+    from meng_zhang_tpu.geometry.lattice import FCC_BASIS, simple_lattice
+    from meng_zhang_tpu.ops.pallas_ni import PallasNi
+    from meng_zhang_tpu.parallel.domain import FrameShortModel
+    mcfg, params = make_annp(ni_pot, dtype=jnp.float64)
+    x_np, box_np = simple_lattice([24, 3, 3], 3.52, FCC_BASIS)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(x_np + rng.normal(scale=0.04, size=x_np.shape))
+    box = jnp.asarray(box_np)
+    n = x.shape[0]
+    cut = effective_cutoff(ni_pot)
+    nbrs = build_neighbors_n2(x, box, cut + 0.5, 96)
+    e_ref, f_ref, w_ref = energy_forces_virial_chunked(
+        mcfg, params, x, box, nbrs.idx, chunk=128, shift=False)
+    pk = PallasNi(mcfg, params)
+    md = ShardedMD(FrameShortModel(pk), 58.6934, box,
+                   ShardConfig(n_devices=4, c_loc=n // 4, capacity=96,
+                               cutoff=cut, skin=0.5, dt=0.001))
+    st, order = md.distribute(x)
+    assert not bool(jnp.any(st.overflow)), np.asarray(st.overflow)
+    e_tot = float(jnp.sum(st.pe))
+    inv = np.argsort(np.asarray(order))
+    f_global = np.asarray(st.f_loc).reshape(n, 3)[inv]
+    np.testing.assert_allclose(e_tot, float(e_ref), rtol=1e-10)
+    assert np.max(np.abs(f_global - np.asarray(f_ref))) < 1e-8
+    np.testing.assert_allclose(np.asarray(st.virial), np.asarray(w_ref),
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_frame_short_md_parity(scene):
+    """A hot NVE run through the sharded fast path stays on the
+    full-width sharded track: per-block epoch refreshes, in-run rebuilds,
+    and the OVF_SHORT/unsafe guards all live."""
+    from meng_zhang_tpu.parallel.domain import FrameShortModel
+    from meng_zhang_tpu.md.simulation import create_velocities
+    mcfg, params, x, box, pk, _, _, _ = scene
+    n = x.shape[0]
+    v0 = create_velocities(jax.random.PRNGKey(3),
+                           jnp.full(n, MASS_FE, jnp.float64), 600.0,
+                           jnp.float64)
+    cfgs = _scfg(2, n, thermo_every=4)
+    md_full = ShardedMD(pk, MASS_FE, box, cfgs)
+    st1, _ = md_full.distribute(x, v0)
+    st1, th1 = md_full.run(st1, 8)
+    assert md_full.rebuild_count >= 1
+
+    pks = PallasAnnp(mcfg, params, k_short=128, short_delta=0.3)
+    md = ShardedMD(FrameShortModel(pks), MASS_FE, box, cfgs)
+    st2, _ = md.distribute(x, v0)
+    st2, th2 = md.run(st2, 8)
+    assert not bool(jnp.any(st2.overflow))
+    assert not bool(jnp.any(st2.unsafe))
+    np.testing.assert_allclose(np.asarray(th2.pe), np.asarray(th1.pe),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(th2.temp), np.asarray(th1.temp),
+                               rtol=1e-8)
+
+
 def test_auto_sized_geometry(scene):
     """halo_b=None / capacity=None derive the sharded geometry from the
     scene (VERDICT round-2 weak #5: hand-computed halo_b everywhere); the
@@ -457,6 +540,27 @@ def test_sharded_anna_forces_match_single_chip(anna_scene, n_dev):
     # the ANNA frame virial feeds the sharded barostat -- assert it too
     np.testing.assert_allclose(np.asarray(st.virial), w_ref,
                                rtol=1e-8, atol=1e-9)
+
+
+def test_sharded_anna_fast_frame(anna_scene):
+    """The plane-layout ANNA fast path served from the sharded driver
+    (AnnaFrameModel(fast=True)): forces/energy/virial match both the
+    single-chip reference and the chunked frame path."""
+    mcfg, params, x, box, e_ref, f_ref, w_ref = anna_scene
+    n = x.shape[0]
+    scfg = ShardConfig(n_devices=4, c_loc=n // 4, halo_b=160, capacity=96,
+                       cutoff=mcfg.cut, skin=0.6, dt=0.001)
+    md = ShardedMD(AnnaFrameModel(mcfg, params, fast=True), MASS_FE, box,
+                   scfg)
+    st, order = md.distribute(x)
+    assert not bool(jnp.any(st.overflow))
+    e_tot = float(jnp.sum(st.pe))
+    inv = np.argsort(np.asarray(order))
+    f_g = np.asarray(st.f_loc).reshape(n, 3)[inv]
+    np.testing.assert_allclose(e_tot, e_ref, rtol=1e-10)
+    assert np.max(np.abs(f_g - f_ref)) < 1e-8
+    np.testing.assert_allclose(np.asarray(st.virial), w_ref,
+                               rtol=1e-7, atol=1e-8)
 
 
 def test_sharded_anna_md_nvt(anna_scene):

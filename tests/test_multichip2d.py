@@ -200,6 +200,27 @@ def test_2d_pallas_forces_match_single_chip(fe_pot, fe_scene):
                                atol=1e-9)
 
 
+def test_2d_frame_short_forces(fe_pot, fe_scene):
+    """The frame short list on the 2-D mesh: the fused fe path at Ks with
+    rev-free delivery matches the single-chip reference."""
+    from meng_zhang_tpu.ops.pallas_annp import PallasAnnp
+    from meng_zhang_tpu.parallel.domain import FrameShortModel
+    mcfg, params, x, box, e_ref, f_ref, w_ref = fe_scene
+    n = x.shape[0]
+    pk = PallasAnnp(mcfg, params, k_short=128, short_delta=0.3)
+    cfg = Shard2DConfig(n_devices=4, mesh_shape=(2, 2), c_loc=n // 4,
+                        cutoff=6.5, skin=0.6, dt=0.001, capacity=160)
+    md = ShardedMD2D(FrameShortModel(pk), MASS_FE, box, cfg)
+    st, order = md.distribute(x)
+    assert not bool(jnp.any(st.overflow)), np.asarray(st.overflow)
+    pe = float(jnp.sum(st.pe))
+    np.testing.assert_allclose(pe, e_ref, rtol=1e-9)
+    f = np.asarray(md.gather_positions(st._replace(x_loc=st.f_loc)))
+    np.testing.assert_allclose(f, f_ref, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(st.virial), w_ref, rtol=1e-7,
+                               atol=1e-9)
+
+
 def test_2d_migrate_unit(fe_scene):
     """Unit coverage of the two-round (x then y) bounded migration on the
     2-D mesh, without the 1200 K integration leg (which runs nightly):

@@ -278,6 +278,48 @@ def test_revfree_short_list_parity(fe_pot):
     assert bool(bad_band)
 
 
+def test_multielement_fused_matches_oracle(fe_pot):
+    """Synthetic 2-element potential (element 1 = perturbed fe weights)
+    through the fused Pallas paths vs the vmap autodiff oracle (VERDICT
+    round-4 item 7: the fused kernels were single-element)."""
+    from meng_zhang_tpu.models.annp import energy_forces as ef_oracle
+    cfg, params = make_annp(fe_pot, dtype=jnp.float64)
+    rng = np.random.default_rng(1)
+    p2 = dict(params)
+    p2["w"] = tuple(jnp.concatenate(
+        [wl, wl * (1.0 + 0.07 * jnp.asarray(
+            rng.standard_normal(wl.shape[1:])))]) for wl in params["w"])
+    p2["b"] = tuple(jnp.concatenate(
+        [bl, bl + 0.03 * jnp.asarray(rng.standard_normal(bl.shape[1:]))])
+        for bl in params["b"])
+    x, box = perturbed_bcc(n_cells=3)
+    x, box = jnp.asarray(x), jnp.asarray(box)
+    n = x.shape[0]
+    elems = jnp.asarray(np.arange(n) % 2, jnp.int32)
+    nbrs = build_neighbors_n2(x, box, cfg.cut + 1.2, 256, with_rev=True)
+    e_ref, f_ref = ef_oracle(cfg, p2, x, box, nbrs.idx, elems)
+
+    pk = PallasAnnp(cfg, p2, k_short=160, short_delta=0.3, elems=elems)
+    assert pk.ne == 2
+    e1, f1 = pk.energy_forces(x, box, nbrs.idx, nbrs.rev)
+    np.testing.assert_allclose(float(e1), float(e_ref), rtol=1e-11)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f_ref),
+                               rtol=1e-8, atol=1e-10)
+    # short path + its chunked pipeline
+    sl = pk.compact_short(x, box, nbrs.idx, None)
+    e2, f2 = pk.energy_forces_short(x, box, sl)
+    np.testing.assert_allclose(float(e2), float(e_ref), rtol=1e-11)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f_ref),
+                               rtol=1e-8, atol=1e-10)
+    pk.pipeline_rows = 0
+    e3, f3 = pk.energy_forces_short(x, box, sl)
+    np.testing.assert_allclose(np.asarray(f3), np.asarray(f_ref),
+                               rtol=1e-8, atol=1e-10)
+    e4, f4 = pk.energy_forces(x, box, nbrs.idx, nbrs.rev)
+    np.testing.assert_allclose(np.asarray(f4), np.asarray(f_ref),
+                               rtol=1e-8, atol=1e-10)
+
+
 def test_per_atom_tallies(fe_pot):
     """per_atom=True returns eatom/vatom (compute pe/atom, stress/atom):
     eatom matches the independent vmap per-atom energies, both tallies sum
