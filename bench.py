@@ -244,11 +244,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=500,
                     help="measured steps (post-minimize, post-warmup)")
-    # 20-step blocks halve the per-block costs (colored compaction
-    # amortization, host sync, stale readback) vs round 4's 10; the colored
-    # epoch drift bound (res_delta/2 = 0.125 A) has ~10x margin over the
-    # measured per-20-step drift of this scene at 300 K
-    ap.add_argument("--thermo", type=int, default=20)
+    # 10-step blocks: a 20-step epoch was measured to cross the colored
+    # path's res_delta/2 drift guard on this scene (unsafe=True), so the
+    # compaction amortization stays at 10
+    ap.add_argument("--thermo", type=int, default=10)
     ap.add_argument("--no-minimize", action="store_true")
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--n-cells", type=int, default=24)

@@ -236,13 +236,22 @@ def build_coloring(pbc, box0, a=A_BCC_FE, max_colors=128,
         n_colors=n_colors)
 
 
-def pair_colors(spec: ColoringSpec, site_i, site_j, q, mm_rows=16384):
+def pair_colors(spec: ColoringSpec, site_i, site_j, q, mm_rows=16384,
+                amb_i=None, amb_j=None):
     """Colors for a [C, K] pair block.
 
     site_i [C, 3], site_j [C, K, 3], q [C, K, 3]: int32 grid sites (raw,
     unwrapped) and quantized minimum-image offsets. Returns
     (col int32 [C, K] in [0, n_colors), kind int32 [C, K]) with kind
     0 = off-table, 1 = palette-colored, 2 = residual class.
+
+    amb_i [C] / amb_j [C, K] (bool): atoms whose raw site quantization is
+    ambiguous (|frac(x/h) - 1/2| small on some axis -- surface-relaxed
+    layers straddling a half-grid plane). A pair whose TAIL atom is
+    ambiguous is demoted to residual (kind 2): the chain position m reads
+    the tail site, and a misrounded tail breaks the alternation proof
+    (the recurring `dup` fallbacks). Both rows read the same tail atom,
+    so the demotion is pair-symmetric.
     The table lookup runs as a one-hot matmul in row chunks (a plain
     gather from the small table costs 215 ms at the benchmark size on
     the v5e; the matmul form costs ~15 ms)."""
@@ -291,5 +300,8 @@ def pair_colors(spec: ColoringSpec, site_i, site_j, q, mm_rows=16384):
         psi = psi + td * wd
     m = jax.lax.shift_right_arithmetic(psi, lv)
     col = base + jnp.mod(m, s)
+    if amb_i is not None:
+        tail_amb = jnp.where(sgn > 0, amb_j, amb_i[:, None])
+        residual = residual | (valid & tail_amb)
     kind = jnp.where(residual, 2, jnp.where(valid, 1, 0)).astype(jnp.int32)
     return jnp.where(kind == 1, col, 0), kind

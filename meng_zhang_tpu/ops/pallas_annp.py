@@ -921,7 +921,7 @@ class PallasAnnp(PairTableOps):
 
     def __init__(self, cfg, params, k_short=128, angular="harmonic",
                  short_delta=0.3, coloring: Optional[ColoringSpec] = None,
-                 res_delta=0.25, elems=None):
+                 res_delta=0.3, elems=None):
         self.k_short = k_short
         # symmetric pair-lane coloring tables (ops/pair_coloring) enabling
         # the column-sorted delivery; None keeps the banded flat sort
@@ -1334,7 +1334,17 @@ class PallasAnnp(PairTableOps):
         site_i = jnp.round(xi_c / h).astype(jnp.int32)       # [C, 3]
         site_j = jnp.stack([jnp.round(xj[:, :, d] / h[d]).astype(jnp.int32)
                             for d in range(3)], axis=-1)     # [C, K, 3]
-        col, kind = pair_colors(spec, site_i, site_j, q)
+        # tail-site rounding ambiguity (surface layers straddling a
+        # half-grid plane): pair_colors demotes such pairs to residual
+        amb_i = jnp.zeros(xi_c.shape[0], bool)
+        amb_j = jnp.zeros(idx_c.shape, bool)
+        for d in range(3):
+            amb_i = amb_i | (jnp.abs(xi_c[:, d] / h[d]
+                                     - site_i[:, d]) > 0.42)
+            amb_j = amb_j | (jnp.abs(xj[:, :, d] / h[d]
+                                     - site_j[:, :, d]) > 0.42)
+        col, kind = pair_colors(spec, site_i, site_j, q,
+                                amb_i=amb_i, amb_j=amb_j)
         # ambiguous-round demotion: a pair whose dx/h fractional residual
         # approaches 1/2 on any axis sits at a rounding boundary -- the 5
         # sigma thermal tail where q (and with it the palette color) can
