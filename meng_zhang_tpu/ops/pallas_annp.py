@@ -921,7 +921,7 @@ class PallasAnnp(PairTableOps):
 
     def __init__(self, cfg, params, k_short=128, angular="harmonic",
                  short_delta=0.3, coloring: Optional[ColoringSpec] = None,
-                 res_delta=0.3, elems=None):
+                 res_delta=None, elems=None):
         self.k_short = k_short
         # symmetric pair-lane coloring tables (ops/pair_coloring) enabling
         # the column-sorted delivery; None keeps the banded flat sort
@@ -936,15 +936,13 @@ class PallasAnnp(PairTableOps):
         # colored-path residual-lane skin: non-palette pairs beyond
         # rc + res_delta are DROPPED at compaction instead of occupying a
         # scarce residual lane (such pairs carry exactly zero force -- fc
-        # vanishes at rc -- and can only matter if both atoms drift
-        # res_delta/2 toward each other within the epoch, which the guard /
-        # exact-unsafe check bounds honestly). At 300 K the thermal
-        # 5th-shell population inside rc + 0.4 peaked at 16 pairs/row
-        # against 15 spare lanes (BENCH_r04 res_ovf fallbacks); inside
-        # rc + 0.25 the max is ~a third of that -- wide margin, no
-        # fallbacks. Palette pairs keep the full short_delta skin (their
-        # lanes are reserved either way).
-        self.res_delta = min(res_delta, short_delta)
+        # vanishes at rc) -- but dropping tightens the drift guard to
+        # res_delta/2, and the reference NPT scene's measured per-epoch
+        # drift EXCEEDS 0.15 A (a res_delta=0.3 trim latched `unsafe`
+        # over 500 steps). Default: no trim (guard short_delta/2); pass a
+        # smaller res_delta only for cold or short-epoch runs.
+        self.res_delta = min(res_delta if res_delta is not None
+                             else short_delta, short_delta)
         # memory-lean assembly threshold (elements); production crosses it
         # only above ~1.3M atoms, so tests/test_pallas_annp.py sets it to 0
         # to exercise the per-component-sort branch at small sizes
@@ -1334,17 +1332,14 @@ class PallasAnnp(PairTableOps):
         site_i = jnp.round(xi_c / h).astype(jnp.int32)       # [C, 3]
         site_j = jnp.stack([jnp.round(xj[:, :, d] / h[d]).astype(jnp.int32)
                             for d in range(3)], axis=-1)     # [C, K, 3]
-        # tail-site rounding ambiguity (surface layers straddling a
-        # half-grid plane): pair_colors demotes such pairs to residual
-        amb_i = jnp.zeros(xi_c.shape[0], bool)
-        amb_j = jnp.zeros(idx_c.shape, bool)
-        for d in range(3):
-            amb_i = amb_i | (jnp.abs(xi_c[:, d] / h[d]
-                                     - site_i[:, d]) > 0.42)
-            amb_j = amb_j | (jnp.abs(xj[:, :, d] / h[d]
-                                     - site_j[:, :, d]) > 0.42)
-        col, kind = pair_colors(spec, site_i, site_j, q,
-                                amb_i=amb_i, amb_j=amb_j)
+        # NOTE on tail-site ambiguity: a demotion of pairs whose tail atom
+        # quantizes near a half-grid plane was tried and REVERTED -- on
+        # the free-surface benchmark scene the crystal drifts off the
+        # box-locked grid, whole planes become "ambiguous", and the
+        # residual lanes flood (max_res 48 > 15; BENCH run 2026-08-21).
+        # The rare crossing-plane `dup` epochs fall back to banded
+        # delivery instead, which is exact -- just slower for that epoch.
+        col, kind = pair_colors(spec, site_i, site_j, q)
         # ambiguous-round demotion: a pair whose dx/h fractional residual
         # approaches 1/2 on any axis sits at a rounding boundary -- the 5
         # sigma thermal tail where q (and with it the palette color) can

@@ -127,7 +127,8 @@ def main():
         "rows": rows,
         "note": "ghost fraction = frame rows beyond owned rows per device; "
                 "1-D slab halo spans 2*(2*rlist+margin) of a box/D slab, "
-                "2-D pays two thinner bands plus corners",
+                "2-D pays two thinner bands plus corners, 3-D pays six "
+                "faces + edges/corners and overtakes 2-D at 64 devices",
     }
     os.makedirs(ART, exist_ok=True)
     with open(os.path.join(ART, "halo_fraction.json"), "w") as fh:
