@@ -154,7 +154,13 @@ def main():
                    thermo_every=thermo, with_rev=not rev_free,
                    stale_factor=0.5,
                    short_every=thermo if use_short else 0,
-                   short_skin=pk.short_delta if use_short else 0.0)
+                   short_skin=pk.short_delta if use_short else 0.0,
+                   # 2m: refresh the short list from the HOST so the
+                   # 251M-element two-sort compaction lives in its own XLA
+                   # arena -- fused into the 10-step block program it
+                   # pushed the 16 GB v5e over the edge after the first
+                   # in-run rebuild (ResourceExhausted, 2026-08-21)
+                   short_host_refresh=rev_free and use_short)
     sim = Simulator(force_fn, jnp.full(n, MASS_FE, jnp.float32), cfg,
                     short_build=short_build)
     x = jnp.asarray(x_np, jnp.float32)
