@@ -104,7 +104,10 @@ def main():
     log(f"{label}: {n} atoms, box {np.round(box_np, 1)}")
     pot = read_ann(FE_ANN)
     mcfg, params = make_annp(pot)
-    pk = PallasAnnp(mcfg, params, short_delta=0.3)
+    # short_delta 0.4: the GB scene's hottest atoms drift up to ~0.2 A per
+    # 10-step epoch (a 0.3 delta's 0.15 A guard latched unsafe in the
+    # measured window); 0.4 restores the 0.2 A bound round 4 proved safe
+    pk = PallasAnnp(mcfg, params, short_delta=0.4)
     want_virial = ensemble == "npt"     # at 2M atoms the virial tally keeps
                                         # the [N,K] dx planes alive through
                                         # force assembly (~3 GB extra peak)
